@@ -1,0 +1,110 @@
+"""Frozen dataclass configs — the rebuild's replacement for the reference's
+global YAML config (SURVEY.md §5: explicit construction, no globals).
+
+A tiny ``from_yaml`` helper is provided for experiment scripts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+
+@dataclass(frozen=True)
+class OMPConfig:
+    """Greedy-solver config.
+
+    T: max atoms (fixed trip count of the lax.scan).
+    eps: residual-norm stopping target (None = T-sparse mode).
+    """
+
+    T: int = 8
+    eps: float | None = None
+    precision: str = "highest"   # MXU precision for Gram / correlation matmuls
+
+
+@dataclass(frozen=True)
+class LassoConfig:
+    """Feature-sign-search config (batched while_loop)."""
+
+    lam: float = 0.1
+    max_active: int = 64         # fixed active-set capacity (static shapes)
+    max_iter: int = 100          # outer activation steps
+    max_inner: int = 20          # feature-sign refinement steps per activation
+
+
+@dataclass(frozen=True)
+class KSVDConfig:
+    K: int = 512
+    T: int = 8
+    n_iter: int = 20
+    init: str = "data"           # random | data | dct
+    exact_svd: bool = False      # exact rank-1 SVD vs approx power step
+    svd_iters: int = 3           # power iterations when exact_svd=True
+    replace_dead: bool = True
+    min_use: int = 1
+    max_coherence: float = 0.99
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class OnlineDLConfig:
+    K: int = 1024
+    lam: float = 0.15
+    batch_size: int = 256
+    n_sweeps: int = 1
+    beta: float = 1.0            # forgetting factor on sufficient statistics
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class LCKSVDConfig:
+    K: int = 512
+    T: int = 8
+    n_iter: int = 10
+    alpha: float = 4.0           # label-consistency weight (sqrt applied in stack)
+    beta: float = 2.0            # classification weight
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class DenoiseConfig:
+    patch: int = 8
+    sigma: float = 25.0
+    gain: float = 1.15
+    lam: float = 0.5
+    T_max: int = 32
+    block: int = 16384           # patches coded per device step (HBM chunking)
+
+
+@dataclass(frozen=True)
+class WhitenConfig:
+    eps: float = 1e-2
+    pca_dim: int | None = None   # None = ZCA, int = PCA-whitening to that dim
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh config: 'data' shards the patch axis (the reference's
+    joblib fan-out equivalent), 'model' optionally shards the atom axis."""
+
+    data: int = -1               # -1 = all devices on the data axis
+    model: int = 1
+
+
+def from_yaml(path: str) -> dict[str, Any]:
+    """Load an experiment config dict from YAML (or JSON fallback)."""
+    text = open(path).read()
+    try:
+        import yaml  # type: ignore
+
+        return yaml.safe_load(text)
+    except ImportError:
+        import json
+
+        return json.loads(text)
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,360 @@
+"""Batched greedy sparse solvers: OMP, Batch-OMP, group OMP, thresholding.
+
+TPU-native design (SURVEY.md §7 step 3): every solver is a fixed-trip-count
+``lax.scan`` over pursuit steps t = 1..T, with *all* N signals advancing in
+lock-step as lanes of batched (N, ...) arrays.  Data-dependent stopping
+(error-constrained mode, dependent-atom breakdown) never branches: converged
+lanes are frozen by a ``done`` mask and carry their state unchanged, which
+preserves bitwise stability of finished lanes and keeps control flow static
+for XLA.
+
+Progressive Cholesky (Rubinstein/Zibulevsky/Elad 2008, Alg. 2) is maintained
+as the *inverse* factor ``Linv = L^{-1}``, appended one row per step:
+
+    L_t = [[L, 0], [w^T, l]]  =>  Linv_t = [[Linv, 0], [-l w^T Linv, l]],
+    w = Linv g,  l = 1/sqrt(1 - ||w||^2),  g = G[I, k_new].
+
+This turns every per-step solve into two batched (N, T, T) x (N, T) matvecs
+on the VPU — no ``triangular_solve`` calls, no per-lane dynamic shapes.  The
+correlation refresh ``alpha = alpha0 - Gamma_I^T G_I`` is one dense
+(N, K) x (K, K) matmul per step that lands on the MXU.
+
+Semantics match ``oracle.batch_omp`` / ``oracle.omp`` / ``oracle.group_omp``
+per signal (tests/test_greedy.py pins fp32-vs-fp64 tolerances).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_HI = lax.Precision.HIGHEST
+
+
+class GreedyResult(NamedTuple):
+    """Compact result of a batched greedy pursuit.
+
+    idx:   (N, T) int32 — selected atom per step (0-padded after stop).
+    gamma: (N, T) f32   — coefficients for idx (0 after stop).
+    err:   (N,)   f32   — final squared residual norm estimate.
+    nsel:  (N,)   int32 — number of atoms actually selected.
+    """
+
+    idx: jax.Array
+    gamma: jax.Array
+    err: jax.Array
+    nsel: jax.Array
+
+    def dense(self, K: int) -> jax.Array:
+        """Dense code matrix Gamma in R^{K x N} (oracle layout)."""
+        N, T = self.idx.shape
+        valid = jnp.arange(T)[None, :] < self.nsel[:, None]
+        C = jnp.zeros((N, K), self.gamma.dtype)
+        C = C.at[jnp.arange(N)[:, None], self.idx].add(
+            jnp.where(valid, self.gamma, 0.0)
+        )
+        return C.T
+
+
+def _append_cholesky_inv(Linv, g, t):
+    """Append one row to the progressive inverse-Cholesky factor.
+
+    Linv: (N, T, T) with rows >= t zero; g: (N, T) = G[I, k_new] (entries
+    >= t are ignored because Linv's columns there are zero).  Returns
+    (Linv', nu) where nu = 1 - ||w||^2 (breakdown indicator).
+    """
+    T = Linv.shape[-1]
+    w = jnp.einsum("ntj,nj->nt", Linv, g)
+    nu = 1.0 - jnp.sum(w * w, axis=-1)
+    linv = lax.rsqrt(jnp.maximum(nu, 1e-12))
+    newrow = -linv[:, None] * jnp.einsum("nt,ntj->nj", w, Linv)
+    e_t = jax.nn.one_hot(t, T, dtype=Linv.dtype)
+    newrow = newrow + linv[:, None] * e_t[None, :]
+    Linv = Linv + e_t[None, :, None] * newrow[:, None, :]
+    return Linv, nu
+
+
+def _solve_gamma(Linv, a0sel):
+    """gamma = (L L^T)^{-1} a0_I = Linv^T (Linv a0_I), batched."""
+    y = jnp.einsum("ntj,nj->nt", Linv, a0sel)
+    return jnp.einsum("njt,nj->nt", Linv, y)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "eps_mode", "precision")
+)
+def _batch_omp_impl(G, A0, xnormsq, eps, *, T, eps_mode, precision):
+    N, K = A0.shape
+    carry = dict(
+        C=jnp.zeros((N, K), A0.dtype),
+        Linv=jnp.zeros((N, T, T), A0.dtype),
+        idx=jnp.zeros((N, T), jnp.int32),
+        a0sel=jnp.zeros((N, T), A0.dtype),
+        selmask=jnp.zeros((N, K), bool),
+        done=jnp.zeros((N,), bool),
+        err=xnormsq,
+        nsel=jnp.zeros((N,), jnp.int32),
+    )
+
+    def step(c, t):
+        # Stop BEFORE adding an atom (oracle checks err at loop top).
+        stop = c["done"]
+        if eps_mode:
+            stop = stop | (c["err"] <= eps * eps)
+
+        Alpha = A0 - jnp.matmul(c["C"], G, precision=precision)
+        scores = jnp.where(c["selmask"], -jnp.inf, jnp.abs(Alpha))
+        k = jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+        grow = jnp.take(G, k, axis=0)                      # (N, K)
+        g = jnp.take_along_axis(grow, c["idx"], axis=1)    # (N, T)
+        Linv, nu = _append_cholesky_inv(c["Linv"], g, t)
+        bad = nu <= 1e-6                                   # dependent atom
+
+        idx = lax.dynamic_update_slice_in_dim(c["idx"], k[:, None], t, axis=1)
+        a0k = jnp.take_along_axis(A0, k[:, None], axis=1)
+        a0sel = lax.dynamic_update_slice_in_dim(c["a0sel"], a0k, t, axis=1)
+        gamma = _solve_gamma(Linv, a0sel)
+
+        C = jnp.zeros_like(c["C"]).at[
+            jnp.arange(N)[:, None], idx
+        ].add(gamma)
+        selmask = c["selmask"].at[jnp.arange(N), k].set(True)
+        err = xnormsq - jnp.sum(gamma * a0sel, axis=1)
+
+        frozen = stop | bad
+        fz = lambda new, old: jnp.where(
+            frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+        )
+        out = dict(
+            C=fz(C, c["C"]),
+            Linv=fz(Linv, c["Linv"]),
+            idx=fz(idx, c["idx"]),
+            a0sel=fz(a0sel, c["a0sel"]),
+            selmask=fz(selmask, c["selmask"]),
+            done=frozen,
+            err=fz(err, c["err"]),
+            nsel=jnp.where(frozen, c["nsel"], c["nsel"] + 1),
+        )
+        return out, None
+
+    carry, _ = lax.scan(step, carry, jnp.arange(T))
+    gamma = _solve_gamma(carry["Linv"], carry["a0sel"])
+    valid = jnp.arange(T)[None, :] < carry["nsel"][:, None]
+    return GreedyResult(
+        idx=carry["idx"],
+        gamma=jnp.where(valid, gamma, 0.0),
+        err=carry["err"],
+        nsel=carry["nsel"],
+    )
+
+
+def batch_omp(
+    D: jax.Array, X: jax.Array, T: int, eps: float | None = None,
+    *, precision=_HI, dense: bool = True,
+):
+    """Batch-OMP: Gram precompute + progressive Cholesky (oracle.batch_omp).
+
+    D: (p, K) unit-norm dictionary.  X: (p, N) signals.  T-sparse mode
+    (eps=None) or error-constrained mode (stop when ||r||_2 <= eps, never
+    exceeding T atoms).  Returns Gamma (K, N) if dense, else GreedyResult.
+    """
+    G = jnp.matmul(D.T, D, precision=precision)
+    A0 = jnp.matmul(X.T, D, precision=precision)      # (N, K)
+    xnormsq = jnp.sum(X * X, axis=0)
+    res = _batch_omp_impl(
+        G, A0, xnormsq, 0.0 if eps is None else float(eps),
+        T=T, eps_mode=eps is not None, precision=precision,
+    )
+    return res.dense(D.shape[1]) if dense else res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "eps_mode", "precision")
+)
+def _omp_impl(D, X, eps, *, T, eps_mode, precision):
+    """Explicit-residual OMP (oracle.omp): correlations from r = x - D_I gamma.
+
+    Cheaper than Batch-OMP on MXU when 2p << K (the big per-step matmul is
+    (N, p) x (p, K) instead of (N, K) x (K, K)); exact residuals in eps mode.
+    """
+    p, K = D.shape
+    N = X.shape[1]
+    Xt = X.T                                   # (N, p)
+    xnormsq = jnp.sum(Xt * Xt, axis=1)
+    carry = dict(
+        r=Xt,
+        Dsel=jnp.zeros((N, T, p), D.dtype),
+        Linv=jnp.zeros((N, T, T), D.dtype),
+        idx=jnp.zeros((N, T), jnp.int32),
+        a0sel=jnp.zeros((N, T), D.dtype),
+        selmask=jnp.zeros((N, K), bool),
+        done=jnp.zeros((N,), bool),
+        err=xnormsq,
+        nsel=jnp.zeros((N,), jnp.int32),
+    )
+
+    def step(c, t):
+        stop = c["done"]
+        if eps_mode:
+            stop = stop | (c["err"] <= eps * eps)
+
+        corr = jnp.matmul(c["r"], D, precision=precision)  # (N, K)
+        scores = jnp.where(c["selmask"], -jnp.inf, jnp.abs(corr))
+        k = jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+        dk = jnp.take(D.T, k, axis=0)                      # (N, p)
+        g = jnp.einsum("ntp,np->nt", c["Dsel"], dk, precision=precision)
+        Linv, nu = _append_cholesky_inv(c["Linv"], g, t)
+        bad = nu <= 1e-6
+
+        Dsel = lax.dynamic_update_slice_in_dim(
+            c["Dsel"], dk[:, None, :], t, axis=1
+        )
+        idx = lax.dynamic_update_slice_in_dim(c["idx"], k[:, None], t, axis=1)
+        a0k = jnp.sum(dk * Xt, axis=1, keepdims=True)      # d_k^T x
+        a0sel = lax.dynamic_update_slice_in_dim(c["a0sel"], a0k, t, axis=1)
+        gamma = _solve_gamma(Linv, a0sel)
+
+        r = Xt - jnp.einsum("nt,ntp->np", gamma, Dsel, precision=precision)
+        selmask = c["selmask"].at[jnp.arange(N), k].set(True)
+        err = jnp.sum(r * r, axis=1)
+
+        frozen = stop | bad
+        fz = lambda new, old: jnp.where(
+            frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+        )
+        out = dict(
+            r=fz(r, c["r"]),
+            Dsel=fz(Dsel, c["Dsel"]),
+            Linv=fz(Linv, c["Linv"]),
+            idx=fz(idx, c["idx"]),
+            a0sel=fz(a0sel, c["a0sel"]),
+            selmask=fz(selmask, c["selmask"]),
+            done=frozen,
+            err=fz(err, c["err"]),
+            nsel=jnp.where(frozen, c["nsel"], c["nsel"] + 1),
+        )
+        return out, None
+
+    carry, _ = lax.scan(step, carry, jnp.arange(T))
+    gamma = _solve_gamma(carry["Linv"], carry["a0sel"])
+    valid = jnp.arange(T)[None, :] < carry["nsel"][:, None]
+    return GreedyResult(
+        idx=carry["idx"],
+        gamma=jnp.where(valid, gamma, 0.0),
+        err=carry["err"],
+        nsel=carry["nsel"],
+    )
+
+
+def omp(
+    D: jax.Array, X: jax.Array, T: int, eps: float | None = None,
+    *, precision=_HI, dense: bool = True,
+):
+    """Orthogonal Matching Pursuit with explicit residual (oracle.omp)."""
+    res = _omp_impl(
+        D, X, 0.0 if eps is None else float(eps),
+        T=T, eps_mode=eps is not None, precision=precision,
+    )
+    return res.dense(D.shape[1]) if dense else res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_groups", "T", "eps_mode", "precision"),
+)
+def _group_omp_impl(G, A0, xnormsq, groups, member, eps,
+                    *, n_groups, T, eps_mode, precision):
+    """groups: (K,) int group id per atom; member: (K, n_groups) one-hot."""
+    N, K = A0.shape
+    A = member.shape[0]  # == K; active capacity is all atoms, masked
+    carry = dict(
+        gsel=jnp.zeros((N, n_groups), bool),   # selected groups
+        amask=jnp.zeros((N, K), A0.dtype),     # active-atom mask (0/1)
+        done=jnp.zeros((N,), bool),
+        err=xnormsq,
+        gamma=jnp.zeros((N, K), A0.dtype),
+        nsel=jnp.zeros((N,), jnp.int32),
+    )
+
+    def step(c, t):
+        stop = c["done"]
+        if eps_mode:
+            stop = stop | (c["err"] <= eps * eps)
+
+        Alpha = A0 - jnp.matmul(c["gamma"], G, precision=precision)
+        # group scores: ||D_g^T r||^2 = sum of alpha^2 over members
+        S = jnp.matmul(Alpha * Alpha, member, precision=precision)
+        S = jnp.where(c["gsel"], -jnp.inf, S)
+        gbest = jnp.argmax(S, axis=1).astype(jnp.int32)
+
+        gsel = c["gsel"].at[jnp.arange(N), gbest].set(True)
+        amask = c["amask"] + jnp.take(member.T, gbest, axis=0)
+
+        # masked normal-equations solve over the active set:
+        # (M G M + (I - diag(M))) gamma = M a0, zero rows/cols padded to I
+        Gm = G[None] * amask[:, :, None] * amask[:, None, :]
+        Gm = Gm + (jnp.eye(K)[None] * (1.0 - amask[:, :, None]))
+        Gm = Gm + 1e-8 * jnp.eye(K)[None]
+        rhs = A0 * amask
+        gamma = jnp.linalg.solve(Gm, rhs[..., None])[..., 0] * amask
+
+        err = xnormsq - jnp.sum(gamma * A0, axis=1)
+        frozen = stop
+        fz = lambda new, old: jnp.where(
+            frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+        )
+        out = dict(
+            gsel=fz(gsel, c["gsel"]),
+            amask=fz(amask, c["amask"]),
+            done=frozen,
+            err=fz(err, c["err"]),
+            gamma=fz(gamma, c["gamma"]),
+            nsel=jnp.where(frozen, c["nsel"], c["nsel"] + 1),
+        )
+        return out, None
+
+    carry, _ = lax.scan(step, carry, jnp.arange(T))
+    return carry["gamma"].T, carry["err"]
+
+
+def group_omp(
+    D: jax.Array, X: jax.Array, groups, T: int,
+    eps: float | None = None, *, precision=_HI,
+):
+    """Group OMP (oracle.group_omp): select argmax_g ||D_g^T r||, LS over the
+    union of selected groups' atoms.  ``groups``: (K,) int array of group ids
+    in [0, n_groups).  Returns dense Gamma (K, N).
+
+    Note: the per-step solve is a batched masked (K, K) solve — intended for
+    moderate K (the group-OMP use cases); the T-sparse hot path is batch_omp.
+    """
+    import numpy as np
+
+    groups = jnp.asarray(groups, jnp.int32)
+    n_groups = int(np.asarray(groups).max()) + 1
+    member = jax.nn.one_hot(groups, n_groups, dtype=D.dtype)  # (K, n_groups)
+    G = jnp.matmul(D.T, D, precision=precision)
+    A0 = jnp.matmul(X.T, D, precision=precision)
+    xnormsq = jnp.sum(X * X, axis=0)
+    Gamma, _ = _group_omp_impl(
+        G, A0, xnormsq, groups, member, 0.0 if eps is None else float(eps),
+        n_groups=n_groups, T=T, eps_mode=eps is not None, precision=precision,
+    )
+    return Gamma
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def threshold_code(
+    D: jax.Array, X: jax.Array, lam: float, kind: str = "soft"
+) -> jax.Array:
+    """One-shot thresholding coder: Gamma = shrink(D^T X, lam) (oracle parity)."""
+    A = jnp.matmul(D.T, X, precision=_HI)
+    if kind == "soft":
+        return jnp.sign(A) * jnp.maximum(jnp.abs(A) - lam, 0.0)
+    return A * (jnp.abs(A) > lam)

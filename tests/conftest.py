@@ -1,0 +1,45 @@
+"""Test environment: force an 8-device CPU platform (SURVEY.md §4.6).
+
+The TPU analogue of fake backends: sharding unit tests run on a virtual
+8-device CPU mesh; real-chip runs happen only in bench.py.
+
+Note: this machine's sitecustomize registers the 'axon' TPU plugin and sets
+``jax_platforms="axon,cpu"`` at interpreter start, overriding the
+JAX_PLATFORMS env var — so we must update the jax config *after* import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_problem(rng, p=16, K=32, N=64, T=4, dtype=np.float64):
+    """Small random unit-norm dictionary + signals that are noisy T-sparse
+    combinations (so greedy recovery is well-posed)."""
+    D = rng.standard_normal((p, K))
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    Gamma = np.zeros((K, N))
+    for n in range(N):
+        idx = rng.choice(K, T, replace=False)
+        Gamma[idx, n] = rng.standard_normal(T)
+    X = D @ Gamma + 0.01 * rng.standard_normal((p, N))
+    return D.astype(dtype), X.astype(dtype), Gamma

@@ -1,0 +1,116 @@
+"""Batched JAX greedy solvers vs NumPy oracle, per patch (SURVEY.md §4.3).
+
+fp32 (JAX) vs fp64 (oracle): tolerances below are measured, not guessed —
+greedy support selection is discrete, so once supports agree the coefficient
+error is just LS conditioning (~1e-4 on these problems).
+"""
+
+import numpy as np
+import pytest
+
+from lyssandra_tpu import oracle
+from lyssandra_tpu.solvers import batch_omp, group_omp, omp, threshold_code
+from tests.conftest import make_problem
+
+
+def _codes_match(G_jax, G_ref, atol=2e-4):
+    """Same supports (allowing fp ties to differ) and close coefficients."""
+    G_jax = np.asarray(G_jax, np.float64)
+    np.testing.assert_allclose(G_jax, G_ref, atol=atol)
+
+
+def test_batch_omp_T_mode(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=64, T=4)
+    ref = oracle.batch_omp(D, X, 4)
+    out = batch_omp(D.astype(np.float32), X.astype(np.float32), 4)
+    _codes_match(out, ref)
+
+
+def test_batch_omp_larger(rng):
+    D, X, _ = make_problem(rng, p=64, K=256, N=128, T=8)
+    ref = oracle.batch_omp(D, X, 8)
+    out = batch_omp(D.astype(np.float32), X.astype(np.float32), 8)
+    _codes_match(out, ref, atol=5e-4)
+
+
+def test_omp_matches_oracle(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=64, T=4)
+    ref = oracle.omp(D, X, 4)
+    out = omp(D.astype(np.float32), X.astype(np.float32), 4)
+    _codes_match(out, ref)
+
+
+def test_omp_equals_batch_omp(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=64, T=5)
+    a = np.asarray(omp(D.astype(np.float32), X.astype(np.float32), 5))
+    b = np.asarray(batch_omp(D.astype(np.float32), X.astype(np.float32), 5))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_batch_omp_eps_mode(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=64, T=5)
+    eps = 0.6 * float(np.median(np.linalg.norm(X, axis=0)))
+    ref = oracle.batch_omp(D, X, 10, eps=eps)
+    out = np.asarray(
+        batch_omp(D.astype(np.float32), X.astype(np.float32), 10, eps=eps)
+    )
+    # identical sparsity pattern counts and close codes
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+    r = np.linalg.norm(X - D @ out.astype(np.float64), axis=0)
+    used = (np.abs(out) > 0).sum(axis=0)
+    assert ((r <= eps * (1 + 1e-3)) | (used >= 10)).all()
+
+
+def test_omp_eps_mode_exact_residual(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=64, T=5)
+    eps = 0.6 * float(np.median(np.linalg.norm(X, axis=0)))
+    out = np.asarray(
+        omp(D.astype(np.float32), X.astype(np.float32), 10, eps=eps)
+    )
+    ref = oracle.omp(D, X, 10, eps=eps)
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_compact_result(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=32, T=4)
+    res = batch_omp(D.astype(np.float32), X.astype(np.float32), 4, dense=False)
+    assert res.idx.shape == (32, 4)
+    assert res.gamma.shape == (32, 4)
+    assert (np.asarray(res.nsel) == 4).all()
+    G = np.asarray(res.dense(48))
+    ref = oracle.batch_omp(D, X, 4)
+    np.testing.assert_allclose(G, ref, atol=2e-4)
+    # err field tracks the true residual
+    r2 = np.linalg.norm(X - D @ G.astype(np.float64), axis=0) ** 2
+    np.testing.assert_allclose(np.asarray(res.err), r2, atol=1e-3)
+
+
+def test_group_omp_matches_oracle(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=24, T=4)
+    groups = np.repeat(np.arange(12), 4)
+    ref = oracle.group_omp(D, X, groups, T=2)
+    out = np.asarray(
+        group_omp(D.astype(np.float32), X.astype(np.float32), groups, T=2)
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_threshold_matches_oracle(rng):
+    D, X, _ = make_problem(rng)
+    for kind in ("soft", "hard"):
+        ref = oracle.threshold_code(D, X, 0.3, kind)
+        out = np.asarray(
+            threshold_code(D.astype(np.float32), X.astype(np.float32), 0.3, kind)
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_degenerate_dictionary_frozen_lanes(rng):
+    # duplicate atoms: progressive Cholesky breaks down; lanes must freeze,
+    # not NaN
+    D = rng.standard_normal((8, 4))
+    D[:, 2] = D[:, 1]
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    X = rng.standard_normal((8, 16))
+    out = np.asarray(batch_omp(D.astype(np.float32), X.astype(np.float32), 4))
+    assert np.isfinite(out).all()
