@@ -70,7 +70,8 @@ def mutual_coherence(D: jax.Array) -> jax.Array:
 def replace_unused_atoms(
     X: jax.Array, D: jax.Array, Gamma: jax.Array,
     min_use: int = 1, max_coherence: float = 0.99,
-) -> jax.Array:
+    *, return_mask: bool = False,
+):
     """Replace dead (< min_use users) or overly-coherent atoms with the
     worst-reconstructed signals, renormalized.
 
@@ -90,4 +91,5 @@ def replace_unused_atoms(
     src = order[rank % order.shape[0]]
     repl = X[:, src]
     repl = repl / jnp.maximum(jnp.linalg.norm(repl, axis=0, keepdims=True), 1e-10)
-    return jnp.where(bad[None, :], repl, D)
+    D_out = jnp.where(bad[None, :], repl, D)
+    return (D_out, bad) if return_mask else D_out

@@ -1,0 +1,129 @@
+"""`SparseEncoder` façade: algorithm name + params -> batched solver.
+
+Mirrors the reference's `sparse_encoder` class (SURVEY.md §2.1): validates
+atom norms, chunks the signal matrix, and fans the chunks out — but where
+the reference forks joblib workers over CPU cores, this fans out along the
+patch axis of a `jax.sharding` data mesh (or simply feeds device-sized
+blocks to one chip).  Zero cross-chip traffic in the coding hot loop: `D`
+(and its Gram) are replicated, signals and codes are sharded.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lyssandra_tpu.solvers import greedy
+
+
+class SparseEncoder:
+    """Encode signal columns into sparse codes over a fixed dictionary.
+
+    algorithm: 'omp' | 'bomp' (batch_omp) | 'group_omp' | 'thresholding'
+               | 'lasso' (feature-sign search)
+    params: algorithm kwargs (T, eps, lam, groups, kind, ...).
+    block:  signals per device step (memory chunking; padded to full blocks
+            so every step hits the same compiled executable).
+    mesh:   optional jax.sharding.Mesh with a 'data' axis to shard blocks
+            over devices (see lyssandra_tpu.parallel).
+    """
+
+    def __init__(
+        self,
+        algorithm: str = "bomp",
+        params: dict[str, Any] | None = None,
+        *,
+        block: int = 16384,
+        mesh: jax.sharding.Mesh | None = None,
+        check_atoms: bool = True,
+    ):
+        self.algorithm = algorithm
+        self.params = dict(params or {})
+        self.block = block
+        self.mesh = mesh
+        self.check_atoms = check_atoms
+
+    # -- internals ---------------------------------------------------------
+
+    def _solver(self):
+        alg = self.algorithm
+        if alg in ("bomp", "batch_omp"):
+            return greedy.batch_omp
+        if alg == "omp":
+            return greedy.omp
+        if alg == "group_omp":
+            return greedy.group_omp
+        if alg in ("thresholding", "soft_thresholding", "hard_thresholding"):
+            kind = "hard" if alg == "hard_thresholding" else self.params.get(
+                "kind", "soft"
+            )
+            return lambda D, X, **kw: greedy.threshold_code(
+                D, X, self.params["lam"], kind
+            )
+        if alg in ("lasso", "feature_sign", "fss"):
+            from lyssandra_tpu.solvers import lasso as _lasso
+
+            return lambda D, X, **kw: _lasso.feature_sign(
+                D, X, **{k: v for k, v in kw.items()}
+            )
+        if alg == "nn_omp":
+            return greedy.nn_omp
+        raise ValueError(f"unknown algorithm: {self.algorithm}")
+
+    def _solver_kwargs(self):
+        kw = dict(self.params)
+        kw.pop("kind", None)
+        if self.algorithm in ("thresholding", "soft_thresholding",
+                              "hard_thresholding"):
+            return {}
+        return kw
+
+    def _shard(self, X):
+        if self.mesh is None:
+            return X
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(X, NamedSharding(self.mesh, P(None, "data")))
+
+    # -- public API --------------------------------------------------------
+
+    def encode(self, X, D) -> jax.Array:
+        """Return dense code matrix Gamma in R^{K x N} for X in R^{p x N}."""
+        D = jnp.asarray(D, jnp.float32)
+        if self.check_atoms:
+            nrm = jnp.linalg.norm(D, axis=0)
+            if not bool(jnp.allclose(nrm, 1.0, atol=1e-3)):
+                raise ValueError(
+                    "dictionary atoms must be unit-norm (got norms in "
+                    f"[{float(nrm.min()):.4f}, {float(nrm.max()):.4f}])"
+                )
+        X = jnp.asarray(X, jnp.float32)
+        N = X.shape[1]
+        solver = self._solver()
+        kw = self._solver_kwargs()
+
+        if N <= self.block:
+            return solver(D, self._shard(X), **kw)
+
+        # pad to full blocks so every step reuses one executable
+        nblocks = math.ceil(N / self.block)
+        pad = nblocks * self.block - N
+        Xp = jnp.pad(X, ((0, 0), (0, pad)))
+        outs = []
+        for b in range(nblocks):
+            Xb = self._shard(
+                jax.lax.dynamic_slice_in_dim(Xp, b * self.block, self.block, 1)
+            )
+            outs.append(solver(D, Xb, **kw))
+        Gamma = jnp.concatenate(outs, axis=1)
+        return Gamma[:, :N]
+
+
+def sparse_encoder(algorithm: str = "bomp", params: dict | None = None,
+                   **kw) -> SparseEncoder:
+    """Reference-style constructor alias."""
+    return SparseEncoder(algorithm, params, **kw)

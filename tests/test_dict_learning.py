@@ -1,0 +1,122 @@
+"""K-SVD + online dictionary learning vs oracle (SURVEY.md §4.3-4.5)."""
+
+import numpy as np
+import pytest
+
+from lyssandra_tpu import oracle
+from lyssandra_tpu.config import KSVDConfig, OnlineDLConfig
+from lyssandra_tpu.dict_learning import (
+    KSVDLearner,
+    OnlineDictionaryLearner,
+    ksvd_atom_update,
+    online_dl_step,
+)
+from lyssandra_tpu.dict_learning.online import OnlineDLState
+from tests.conftest import make_problem
+import jax.numpy as jnp
+
+
+def test_atom_update_matches_oracle_approx(rng):
+    D, X, _ = make_problem(rng, p=16, K=24, N=120, T=3)
+    Gamma = oracle.batch_omp(D, X, 3)
+    Dr, Gr = oracle.ksvd_atom_update(X, D, Gamma, exact=False)
+    Dj, Gj = ksvd_atom_update(
+        jnp.asarray(X, jnp.float32), jnp.asarray(D, jnp.float32),
+        jnp.asarray(Gamma, jnp.float32), exact=False,
+    )
+    np.testing.assert_allclose(np.asarray(Dj), Dr, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Gj), Gr, atol=2e-3)
+
+
+def test_atom_update_exact_decreases_objective(rng):
+    # power-iterated 'exact' mode: matches the oracle's SVD solution in
+    # objective (signs of singular vectors may flip)
+    D, X, _ = make_problem(rng, p=16, K=24, N=120, T=3)
+    Gamma = oracle.batch_omp(D, X, 3)
+    err0 = np.linalg.norm(X - D @ Gamma) ** 2
+    Dr, Gr = oracle.ksvd_atom_update(X, D, Gamma, exact=True)
+    err_ref = np.linalg.norm(X - Dr @ Gr) ** 2
+    Dj, Gj = ksvd_atom_update(
+        jnp.asarray(X, jnp.float32), jnp.asarray(D, jnp.float32),
+        jnp.asarray(Gamma, jnp.float32), exact=True, svd_iters=5,
+    )
+    err_jax = float(
+        np.linalg.norm(X - np.asarray(Dj, np.float64)
+                       @ np.asarray(Gj, np.float64)) ** 2
+    )
+    assert err_jax <= err0 + 1e-6
+    np.testing.assert_allclose(err_jax, err_ref, rtol=1e-3)
+
+
+def test_atom_update_preserves_support(rng):
+    D, X, _ = make_problem(rng, p=16, K=24, N=80, T=3)
+    Gamma = oracle.batch_omp(D, X, 3)
+    Dj, Gj = ksvd_atom_update(
+        jnp.asarray(X, jnp.float32), jnp.asarray(D, jnp.float32),
+        jnp.asarray(Gamma, jnp.float32),
+    )
+    # K-SVD only changes coefficients on each atom's existing support
+    assert (np.asarray(Gj)[Gamma == 0] == 0).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(Dj), axis=0), 1.0, atol=1e-4
+    )
+
+
+def test_ksvd_learner_objective_decreases(rng):
+    D, X, _ = make_problem(rng, p=16, K=24, N=300, T=3)
+    cfg = KSVDConfig(K=24, T=3, n_iter=5, init="data", exact_svd=False,
+                     replace_dead=False, seed=0)
+    learner = KSVDLearner(cfg).fit(np.asarray(X, np.float32))
+    objs = [h["objective"] for h in learner.history_]
+    assert objs[-1] < objs[0]
+    assert learner.D_.shape == (16, 24)
+    # final dictionary reconstructs better than the initial data columns
+    assert learner.history_[-1]["rmse"] < 0.5
+
+
+def test_ksvd_dead_atom_replacement(rng):
+    D, X, _ = make_problem(rng, p=16, K=24, N=300, T=3)
+    cfg = KSVDConfig(K=24, T=3, n_iter=3, replace_dead=True, seed=0)
+    learner = KSVDLearner(cfg).fit(np.asarray(X, np.float32))
+    assert all("atoms_replaced" in h for h in learner.history_)
+
+
+def test_online_dl_step_matches_oracle(rng):
+    D, X, _ = make_problem(rng, p=16, K=24, N=100, T=3)
+    lam = 0.15
+    A = np.zeros((24, 24))
+    B = np.zeros((16, 24))
+    Dr, Ar, Br = oracle.online_dl_step(D, A, B, X, lam, n_sweeps=1)
+    st = OnlineDLState(
+        jnp.asarray(D, jnp.float32), jnp.asarray(A, jnp.float32),
+        jnp.asarray(B, jnp.float32), jnp.zeros((), jnp.int32),
+    )
+    cfg = OnlineDLConfig(K=24, lam=lam, n_sweeps=1)
+    st2, Gamma = online_dl_step(st, jnp.asarray(X, jnp.float32), cfg)
+    np.testing.assert_allclose(np.asarray(st2.D), Dr, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st2.A), Ar, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st2.B), Br, atol=5e-3)
+
+
+def test_online_learner_objective_trend(rng):
+    from lyssandra_tpu.solvers.lasso import feature_sign
+
+    D, X, _ = make_problem(rng, p=16, K=24, N=512, T=3)
+    lam = 0.15
+    Xeval = np.asarray(X[:, :128], np.float32)
+
+    def eval_obj(Dd):
+        G = np.asarray(feature_sign(Dd, Xeval, lam)).astype(np.float64)
+        R = Xeval - np.asarray(Dd, np.float64) @ G
+        return (R * R).sum() + lam * np.abs(G).sum()
+
+    cfg = OnlineDLConfig(K=24, lam=lam, batch_size=128, seed=0)
+    learner = OnlineDictionaryLearner(cfg)
+    learner.partial_fit(Xeval)  # init
+    obj0 = eval_obj(learner.D_)
+    learner.fit(np.asarray(X, np.float32), n_epochs=2)
+    obj1 = eval_obj(learner.D_)
+    # held-out objective on a fixed set improves with training
+    assert obj1 < obj0
+    nrm = np.linalg.norm(np.asarray(learner.D_), axis=0)
+    assert (nrm <= 1.0 + 1e-5).all()

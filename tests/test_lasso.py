@@ -1,0 +1,74 @@
+"""Feature-sign search + FISTA vs oracle / sklearn (SURVEY.md §4.2, §4.4).
+
+Lasso optima are unique (for generic problems), so instead of bitwise
+comparison with the oracle we assert the *objective* matches the oracle's
+and the KKT conditions hold — the paper's own optimality criterion.
+"""
+
+import numpy as np
+import pytest
+
+from lyssandra_tpu import oracle
+from lyssandra_tpu.solvers.lasso import feature_sign, fista
+from tests.conftest import make_problem
+
+
+def _objective(D, X, G, lam):
+    R = X - D @ G
+    return (R * R).sum(axis=0) + lam * np.abs(G).sum(axis=0)
+
+
+def test_feature_sign_matches_oracle_objective(rng):
+    D, X, _ = make_problem(rng, p=16, K=32, N=24, T=3)
+    lam = 0.2
+    ref = oracle.lasso(D, X, lam)
+    out = np.asarray(feature_sign(D, X, lam)).astype(np.float64)
+    o_ref = _objective(D, X, ref, lam)
+    o_out = _objective(D, X, out, lam)
+    np.testing.assert_allclose(o_out, o_ref, rtol=1e-4, atol=1e-5)
+    # and the codes themselves agree (unique optimum)
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_feature_sign_kkt(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=32, T=4)
+    lam = 0.15
+    res = feature_sign(D, X, lam, full_result=True)
+    assert bool(np.asarray(res.done).all())
+    assert not bool(np.asarray(res.overflow).any())
+    G = np.asarray(res.Gamma).astype(np.float64)
+    gr = 2 * (D.T @ (D @ G - X))
+    act = np.abs(G) > 1e-10
+    viol_act = np.abs(gr + lam * np.sign(G))[act]
+    assert viol_act.max() < 1e-3
+    assert (np.abs(gr[~act]) <= lam + 1e-3).all()
+
+
+def test_feature_sign_zero_solution(rng):
+    D, X, _ = make_problem(rng, p=16, K=32, N=8, T=2)
+    lam = 1e3  # lam > 2 max|D^T x| => g = 0 optimal
+    G = np.asarray(feature_sign(D, X, lam))
+    assert (G == 0).all()
+
+
+def test_feature_sign_vs_sklearn(rng):
+    from sklearn.linear_model import Lasso
+
+    D, X, _ = make_problem(rng, p=16, K=32, N=8, T=3)
+    lam = 0.2
+    out = np.asarray(feature_sign(D, X, lam)).astype(np.float64)
+    for n in range(X.shape[1]):
+        sk = Lasso(alpha=lam / (2 * D.shape[0]), fit_intercept=False,
+                   max_iter=50000, tol=1e-12).fit(D, X[:, n])
+        obj = lambda w: np.sum((X[:, n] - D @ w) ** 2) + lam * np.abs(w).sum()
+        assert obj(out[:, n]) <= obj(sk.coef_) + 1e-4
+
+
+def test_fista_objective(rng):
+    D, X, _ = make_problem(rng, p=16, K=32, N=16, T=3)
+    lam = 0.2
+    ref = oracle.lasso(D, X, lam)
+    out = np.asarray(fista(D, X, lam, n_iter=500)).astype(np.float64)
+    o_ref = _objective(D, X, ref, lam)
+    o_out = _objective(D, X, out, lam)
+    np.testing.assert_allclose(o_out, o_ref, rtol=1e-3, atol=1e-4)
