@@ -1,0 +1,104 @@
+"""North-star benchmark: Batch-OMP throughput, K=1024, T=8 (BASELINE.json).
+
+Measures
+  - the CPU reference baseline: the in-tree NumPy oracle (the reference
+    publishes no numbers — BASELINE.md — so the baseline is the oracle
+    measured on this machine's CPU), and
+  - the TPU implementation: batched Batch-OMP lax.scan on the local chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tpu_patches_per_sec, "unit": "patches/s",
+   "vs_baseline": tpu/cpu_ratio}
+Details (including denoising PSNR parity when cheap) go to
+benchmarks/results/.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+P, K, T = 64, 1024, 8
+CPU_N = 512          # oracle patches for the baseline measurement
+TPU_BLOCK = 32768    # lanes per device step
+TPU_STEPS = 8        # timed steps (blocks)
+
+
+def measure_cpu_oracle(D, X):
+    from lyssandra_tpu import oracle
+
+    t0 = time.perf_counter()
+    oracle.batch_omp(D[:, :], X[:, :CPU_N], T)
+    dt = time.perf_counter() - t0
+    return CPU_N / dt
+
+
+def measure_tpu(D, Xblocks):
+    import jax
+    import jax.numpy as jnp
+
+    from lyssandra_tpu.solvers import greedy
+
+    Dj = jnp.asarray(D, jnp.float32)
+    blocks = [jnp.asarray(Xb, jnp.float32) for Xb in Xblocks]
+
+    def run(Xb):
+        res = greedy.batch_omp(Dj, Xb, T, dense=False)
+        # scalar checksum: fetching it forces completion of the whole step
+        return res, jnp.sum(res.err)
+
+    # Warm up compile AND the device->host fetch path: on this machine's
+    # tunneled backend block_until_ready returns early and the first host
+    # fetch pays a large one-time cost, so sync via scalar fetches.
+    for _ in range(2):
+        _, chk = run(blocks[0])
+        float(np.asarray(chk))
+
+    t0 = time.perf_counter()
+    chks = [run(Xb)[1] for Xb in blocks]
+    total = jnp.sum(jnp.stack(chks))   # depends on every block's result
+    float(np.asarray(total))
+    dt = time.perf_counter() - t0
+    return len(blocks) * blocks[0].shape[1] / dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    D = rng.standard_normal((P, K))
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    Xcpu = rng.standard_normal((P, CPU_N))
+    cpu_pps = measure_cpu_oracle(D, Xcpu)
+
+    Xblocks = [
+        rng.standard_normal((P, TPU_BLOCK)).astype(np.float32)
+        for _ in range(TPU_STEPS)
+    ]
+    tpu_pps = measure_tpu(D, Xblocks)
+
+    import jax
+
+    result = {
+        "metric": f"batch_omp_throughput_K{K}_T{T}",
+        "value": round(tpu_pps, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(tpu_pps / cpu_pps, 2),
+    }
+    detail = {
+        **result,
+        "cpu_oracle_patches_per_sec": round(cpu_pps, 1),
+        "device": str(jax.devices()[0]),
+        "patch_dim": P,
+        "n_atoms": K,
+        "sparsity": T,
+        "tpu_block": TPU_BLOCK,
+        "tpu_patches_timed": TPU_BLOCK * TPU_STEPS,
+    }
+    os.makedirs("benchmarks/results", exist_ok=True)
+    with open("benchmarks/results/latest.json", "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+from lyssandra_tpu.parallel.mesh import (
+    make_mesh,
+    shard_patches,
+    replicate,
+    ksvd_train_step,
+    sharded_ksvd_step,
+)
