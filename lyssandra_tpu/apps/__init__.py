@@ -1,0 +1,2 @@
+from lyssandra_tpu.apps.denoise import Denoiser, denoise
+from lyssandra_tpu.apps.features import FeatureExtractor, spatial_pyramid_pool

@@ -1,0 +1,85 @@
+"""Feature-extraction pipeline: encode -> spatial pooling -> classify.
+
+SURVEY.md §2.1 / §3.5: the reference's computer-vision feature toolkit —
+dense patches per image, preprocess, sparse-encode over a (learned)
+dictionary, spatial-pyramid max pooling of the absolute codes, then a
+linear classifier on the pooled features (Yang et al. 2009 ScSPM shape).
+
+Everything is batched: an image's patch grid is encoded in one solver call
+and pooled with reshapes + max reductions (no per-cell Python loops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lyssandra_tpu.ops.patches import (
+    contrast_normalize,
+    extract_patches,
+    n_patches,
+    remove_dc,
+)
+from lyssandra_tpu.solvers.encoder import SparseEncoder
+
+
+def spatial_pyramid_pool(
+    codes: jax.Array, grid: tuple[int, int], levels=(1, 2, 4)
+) -> jax.Array:
+    """Max-pool |codes| over a spatial pyramid.
+
+    codes: (K, N) codes of patches laid out row-major on a grid (Hp, Wp).
+    Returns a feature vector of length K * sum(l*l for l in levels).
+    """
+    K = codes.shape[0]
+    Hp, Wp = grid
+    A = jnp.abs(codes).reshape(K, Hp, Wp)
+    feats = []
+    for l in levels:
+        # pad so the grid divides evenly into l x l cells
+        ph = (-Hp) % l
+        pw = (-Wp) % l
+        Ap = jnp.pad(A, ((0, 0), (0, ph), (0, pw)))
+        ch = (Hp + ph) // l
+        cw = (Wp + pw) // l
+        cells = Ap.reshape(K, l, ch, l, cw)
+        feats.append(cells.max(axis=(2, 4)).reshape(K * l * l))
+    return jnp.concatenate(feats)
+
+
+class FeatureExtractor:
+    """Encode images into pooled sparse-code features.
+
+    encoder: any SparseEncoder (default Batch-OMP T=10).
+    preprocess: 'dc' removes patch means; 'dc+norm' also contrast-normalizes.
+    """
+
+    def __init__(
+        self, D, *, patch: int = 8, stride: int = 4,
+        encoder: SparseEncoder | None = None,
+        levels=(1, 2, 4), preprocess: str = "dc",
+    ):
+        self.D = jnp.asarray(D, jnp.float32)
+        self.patch = patch
+        self.stride = stride
+        self.encoder = encoder or SparseEncoder(
+            "bomp", {"T": 10}, check_atoms=False
+        )
+        self.levels = levels
+        self.preprocess = preprocess
+
+    def transform_image(self, img) -> jax.Array:
+        img = jnp.asarray(img, jnp.float32)
+        X = extract_patches(img, self.patch, self.stride)
+        X, _ = remove_dc(X)
+        if self.preprocess == "dc+norm":
+            X, _ = contrast_normalize(X)
+        codes = self.encoder.encode(X, self.D)
+        grid = n_patches(img.shape[0], img.shape[1], self.patch, self.stride)
+        return spatial_pyramid_pool(codes, grid, self.levels)
+
+    def transform(self, imgs) -> jax.Array:
+        """imgs: iterable of (H, W) arrays -> (n_images, F) features."""
+        return jnp.stack([self.transform_image(im) for im in imgs])

@@ -1,0 +1,8 @@
+from lyssandra_tpu.utils.workspace import Workspace
+from lyssandra_tpu.utils.datasets import (
+    load_image,
+    synthetic_image,
+    standard_test_image,
+    patch_dataset,
+)
+from lyssandra_tpu.utils.profiling import profile_trace, timed

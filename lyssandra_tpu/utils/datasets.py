@@ -1,0 +1,137 @@
+"""Dataset loaders + synthetic standard images.
+
+The reference loads image datasets from YAML-configured paths (SURVEY.md
+§2.1 'Dataset loaders / workspace').  This environment has zero network
+egress, so alongside file loaders we ship procedural generators for the
+standard denoising test images ('barbara'/'lena'-like: piecewise-smooth
+regions, oriented textures, edges) so the BASELINE config-3 pipeline runs
+self-contained and deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def load_image(path: str, gray: bool = True) -> np.ndarray:
+    """Load an image file to float64 [0, 255] (PIL if available, else npy)."""
+    if path.endswith((".npy", ".npz")):
+        arr = np.load(path)
+        if hasattr(arr, "keys"):
+            arr = arr[list(arr.keys())[0]]
+        return np.asarray(arr, np.float64)
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "PIL unavailable; provide .npy images instead"
+        ) from e
+    img = Image.open(path)
+    if gray:
+        img = img.convert("L")
+    return np.asarray(img, np.float64)
+
+
+def synthetic_image(
+    kind: str = "texture", size: int = 256, seed: int = 0
+) -> np.ndarray:
+    """Deterministic synthetic grayscale images in [0, 255].
+
+    kinds: 'smooth' (low-frequency blobs), 'texture' (oriented stripes over
+    smooth background — barbara-like), 'edges' (piecewise-constant blocks —
+    cartoon-like), 'mix' (quadrants of the above).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, size)
+    xx, yy = np.meshgrid(t, t, indexing="ij")
+
+    def smooth():
+        img = np.zeros((size, size))
+        for _ in range(6):
+            cx, cy = rng.uniform(0, 1, 2)
+            s = rng.uniform(0.08, 0.3)
+            a = rng.uniform(-1, 1)
+            img += a * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / s**2))
+        return img
+
+    def texture():
+        img = 0.6 * smooth()
+        for _ in range(4):
+            f = rng.uniform(15, 45)
+            th = rng.uniform(0, np.pi)
+            cx, cy = rng.uniform(0.2, 0.8, 2)
+            s = rng.uniform(0.1, 0.25)
+            mask = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / s**2))
+            img += 0.5 * mask * np.sin(
+                2 * np.pi * f * (xx * np.cos(th) + yy * np.sin(th))
+            )
+        return img
+
+    def edges():
+        img = np.zeros((size, size))
+        for _ in range(8):
+            x0, y0 = rng.uniform(0, 0.8, 2)
+            w, h = rng.uniform(0.1, 0.4, 2)
+            img[(xx >= x0) & (xx < x0 + w) & (yy >= y0) & (yy < y0 + h)] += \
+                rng.uniform(-1, 1)
+        return img
+
+    if kind == "smooth":
+        img = smooth()
+    elif kind == "texture":
+        img = texture()
+    elif kind == "edges":
+        img = edges()
+    elif kind == "mix":
+        h = size // 2
+        img = np.zeros((size, size))
+        img[:h, :h] = smooth()[:h, :h]
+        img[:h, h:] = texture()[:h, h:]
+        img[h:, :h] = edges()[h:, :h]
+        img[h:, h:] = (texture() + edges())[h:, h:]
+    else:
+        raise ValueError(kind)
+    img -= img.min()
+    img /= max(img.max(), 1e-12)
+    return 255.0 * img
+
+
+def standard_test_image(name: str = "barbara", size: int = 256) -> np.ndarray:
+    """Stand-ins for the standard denoising test images.
+
+    Zero-egress environment: if a real image file exists under
+    $LYSSA_DATA_DIR/<name>.{png,npy}, it is loaded; otherwise a procedural
+    image with matching statistics class is generated ('barbara' ->
+    oriented textures, 'lena' -> smooth + edges).
+    """
+    data_dir = os.environ.get("LYSSA_DATA_DIR", "")
+    for ext in (".png", ".pgm", ".npy"):
+        path = os.path.join(data_dir, name + ext)
+        if data_dir and os.path.exists(path):
+            return load_image(path)
+    kind = {"barbara": "texture", "lena": "mix", "boat": "edges"}.get(
+        name, "mix"
+    )
+    return synthetic_image(kind, size=size, seed=abs(hash(name)) % (2**31))
+
+
+def patch_dataset(
+    images, p: int = 8, n_patches: int = 50000, seed: int = 0,
+    remove_dc: bool = True,
+) -> np.ndarray:
+    """Sample random p x p patches from a list of images -> (p*p, N)."""
+    rng = np.random.default_rng(seed)
+    per = n_patches // len(images) + 1
+    cols = []
+    for img in images:
+        H, W = img.shape
+        ii = rng.integers(0, H - p + 1, per)
+        jj = rng.integers(0, W - p + 1, per)
+        for i, j in zip(ii, jj):
+            cols.append(img[i : i + p, j : j + p].reshape(-1))
+    X = np.stack(cols[:n_patches], axis=1).astype(np.float64)
+    if remove_dc:
+        X -= X.mean(axis=0, keepdims=True)
+    return X

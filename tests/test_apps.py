@@ -1,0 +1,78 @@
+"""Denoising + feature-extraction apps vs oracle (SURVEY.md §4.5,
+BASELINE config 3)."""
+
+import numpy as np
+import pytest
+
+from lyssandra_tpu import oracle
+from lyssandra_tpu.apps import Denoiser, denoise, FeatureExtractor
+from lyssandra_tpu.apps.denoise import psnr
+from lyssandra_tpu.apps.features import spatial_pyramid_pool
+from lyssandra_tpu.config import DenoiseConfig
+from lyssandra_tpu.ops import dct_dictionary
+import jax.numpy as jnp
+
+
+def _toy_image(rng, n=64):
+    x = np.linspace(0, 2 * np.pi, n)
+    img = 100 + 60 * np.outer(np.sin(x), np.cos(x)) + 20 * np.outer(
+        np.cos(2 * x), np.sin(3 * x)
+    )
+    return img
+
+
+def test_denoise_matches_oracle_psnr(rng):
+    """PSNR parity within the 0.05 dB budget (BASELINE north star)."""
+    img = _toy_image(rng)
+    sigma = 25.0
+    noisy = img + sigma * rng.standard_normal(img.shape)
+    D = oracle.dct_dictionary(8, 64)
+    ref = oracle.denoise(noisy, D, sigma, T_max=16)
+    cfg = DenoiseConfig(patch=8, sigma=sigma, T_max=16, block=4096)
+    out = np.asarray(denoise(noisy.astype(np.float32), D, sigma, cfg=cfg))
+    p_ref = oracle.psnr(ref, img)
+    p_out = oracle.psnr(out.astype(np.float64), img)
+    assert p_out > oracle.psnr(noisy, img)  # actually denoises
+    assert abs(p_out - p_ref) < 0.05, (p_out, p_ref)
+
+
+def test_denoiser_class(rng):
+    img = _toy_image(rng, 48)
+    noisy = img + 15.0 * rng.standard_normal(img.shape)
+    den = Denoiser(dct_dictionary(8, 64),
+                   DenoiseConfig(sigma=15.0, T_max=8, block=4096))
+    out = np.asarray(den(noisy.astype(np.float32)))
+    assert psnr(out, img) > psnr(noisy, img) + 1.0
+
+
+def test_spatial_pyramid_pool_shapes(rng):
+    codes = jnp.asarray(rng.standard_normal((32, 6 * 7)), jnp.float32)
+    f = spatial_pyramid_pool(codes, (6, 7), levels=(1, 2))
+    assert f.shape == (32 * (1 + 4),)
+    # level-1 cell is the global max of |codes|
+    np.testing.assert_allclose(
+        np.asarray(f[:32]), np.abs(np.asarray(codes)).max(axis=1), atol=1e-6
+    )
+
+
+def test_feature_extractor_separates_classes(rng):
+    # two texture classes; pooled sparse codes should be linearly separable
+    from lyssandra_tpu.classify import LinearClassifier
+
+    D = dct_dictionary(8, 64)
+    fe = FeatureExtractor(D, patch=8, stride=8, levels=(1, 2))
+
+    def tex_a():
+        return np.outer(np.sin(np.linspace(0, 8 * np.pi, 32)),
+                        np.ones(32)) * 50 + rng.standard_normal((32, 32))
+
+    def tex_b():
+        return np.outer(np.ones(32),
+                        np.sin(np.linspace(0, 8 * np.pi, 32))) * 50 + \
+            rng.standard_normal((32, 32))
+
+    imgs = [tex_a() for _ in range(8)] + [tex_b() for _ in range(8)]
+    y = np.array([0] * 8 + [1] * 8)
+    F = np.asarray(fe.transform(imgs)).T          # (F, n)
+    clf = LinearClassifier(lam=1e-3).fit(F, y)
+    assert clf.score(F, y) == 1.0

@@ -1,0 +1,84 @@
+"""Workspace (checkpoint/resume), datasets, profiling utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lyssandra_tpu.utils import (
+    Workspace,
+    patch_dataset,
+    standard_test_image,
+    synthetic_image,
+    timed,
+)
+
+
+def test_workspace_arrays(tmp_path):
+    ws = Workspace(str(tmp_path / "exp"))
+    D = np.random.default_rng(0).standard_normal((8, 16))
+    ws.save_array("D", D)
+    np.testing.assert_array_equal(ws.load_array("D"), D)
+    ws.save_array("multi", D=D, G=D * 2)
+    out = ws.load_array("multi")
+    np.testing.assert_array_equal(out["G"], D * 2)
+
+
+def test_workspace_metrics_and_json(tmp_path):
+    ws = Workspace(str(tmp_path / "exp"))
+    ws.log_metrics({"iter": 0, "objective": 1.5})
+    ws.log_metrics({"iter": 1, "objective": 1.2})
+    m = ws.read_metrics()
+    assert [x["iter"] for x in m] == [0, 1]
+    ws.save_json("result", {"psnr": 30.4})
+    assert ws.load_json("result")["psnr"] == 30.4
+
+
+def test_workspace_checkpoint_resume(tmp_path):
+    ws = Workspace(str(tmp_path / "exp"))
+    state = {
+        "D": jnp.ones((4, 8)),
+        "A": jnp.zeros((8, 8)),
+        "iter": jnp.asarray(3),
+    }
+    ws.save_state(3, state)
+    step, restored = ws.load_latest_state(state)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(restored["D"]), np.ones((4, 8)))
+    # resume overwrite: later step wins
+    ws.save_state(5, {**state, "iter": jnp.asarray(5)})
+    step, restored = ws.load_latest_state(state)
+    assert step == 5 and int(restored["iter"]) == 5
+
+
+def test_synthetic_images():
+    for kind in ("smooth", "texture", "edges", "mix"):
+        img = synthetic_image(kind, size=64, seed=1)
+        assert img.shape == (64, 64)
+        assert 0 <= img.min() and img.max() <= 255.0
+    # deterministic
+    np.testing.assert_array_equal(
+        synthetic_image("texture", 64, 2), synthetic_image("texture", 64, 2)
+    )
+
+
+def test_standard_test_image():
+    b = standard_test_image("barbara", size=128)
+    assert b.shape == (128, 128)
+    l = standard_test_image("lena", size=128)
+    assert not np.array_equal(b, l)
+
+
+def test_patch_dataset():
+    imgs = [synthetic_image("mix", 64, s) for s in range(2)]
+    X = patch_dataset(imgs, p=8, n_patches=500, seed=0)
+    assert X.shape == (64, 500)
+    np.testing.assert_allclose(X.mean(axis=0), 0, atol=1e-9)
+
+
+def test_timed_sync():
+    f = lambda x: jnp.sin(x).sum()
+    out, dt = timed(f, jnp.ones((128, 128)), reps=2)
+    assert dt > 0
