@@ -28,7 +28,8 @@ from jax import lax
 
 from lyssandra_tpu.config import OnlineDLConfig
 from lyssandra_tpu.ops.dictionaries import init_dictionary
-from lyssandra_tpu.solvers import lasso as _lasso
+from lyssandra_tpu.solvers.lasso import feature_sign as _feature_sign, \
+    fista as _fista
 
 _HI = lax.Precision.HIGHEST
 
@@ -67,9 +68,9 @@ def online_dl_step(
 ) -> tuple[OnlineDLState, jax.Array]:
     """One minibatch step; returns (new state, minibatch codes)."""
     if coder == "feature_sign":
-        Gamma = _lasso.feature_sign(state.D, Xb, cfg.lam)
+        Gamma = _feature_sign(state.D, Xb, cfg.lam)
     elif coder == "fista":
-        Gamma = _lasso.fista(state.D, Xb, cfg.lam)
+        Gamma = _fista(state.D, Xb, cfg.lam)
     else:
         raise ValueError(coder)
     A = cfg.beta * state.A + jnp.matmul(Gamma, Gamma.T, precision=_HI)

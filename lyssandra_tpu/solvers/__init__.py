@@ -2,6 +2,9 @@ from lyssandra_tpu.solvers.greedy import (
     omp,
     batch_omp,
     group_omp,
+    nn_omp,
     threshold_code,
     GreedyResult,
 )
+from lyssandra_tpu.solvers.lasso import feature_sign, fista, lasso
+from lyssandra_tpu.solvers.encoder import SparseEncoder, sparse_encoder

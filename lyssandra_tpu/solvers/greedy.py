@@ -84,22 +84,48 @@ def _solve_gamma(Linv, a0sel):
     return jnp.einsum("njt,nj->nt", Linv, y)
 
 
+def _argmax_abs(A):
+    """First index of the max |A[n, :]| per lane, TPU-fast.
+
+    jnp.argmax's index-tracking reduction lowers poorly on TPU (~20x slower
+    than a plain max); a max followed by a min-over-matching-iota is
+    mathematically identical (first match wins ties, like np.argmax) and
+    lowers to two cheap reductions.
+    """
+    N, K = A.shape
+    s = jnp.abs(A)
+    mx = jnp.max(s, axis=1, keepdims=True)
+    iota = lax.broadcasted_iota(jnp.int32, (N, K), 1)
+    return jnp.min(jnp.where(s == mx, iota, K), axis=1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("T", "eps_mode", "precision")
 )
-def _batch_omp_impl(G, A0, xnormsq, eps, *, T, eps_mode, precision):
-    """Scan body uses Rubinstein's correlation refresh
-    ``alpha = alpha0 - G[:, I] gamma`` with the selected Gram rows gathered
-    into a per-lane (T, K) buffer: 2*N*t*K flops per step (a batched matvec
-    on the VPU) instead of the naive dense (N,K)x(K,K) MXU matmul — ~K/T
-    times less work for the T-sparse hot path."""
+def _batch_omp_impl(G, Dt, A0, xnormsq, eps, *, T, eps_mode, precision):
+    """Scan body design notes (all TPU-lowering-driven, measured):
+
+    - Correlation refresh ``alpha = alpha0 - Gamma_dense G`` as ONE dense
+      (N, K) x (K, K) MXU matmul per step.  The 'cheap' alternative —
+      gathering the selected Gram rows — loses badly: per-lane (N, K) row
+      gathers run ~20x slower than the matmul on TPU.
+    - No selected-atom mask: re-selecting an atom implies the residual
+      correlation is pure fp noise; the progressive Cholesky then breaks
+      down (nu ~ 0) and the lane freezes — exactly the oracle's
+      ``if k in I: break``.  This avoids a (N, K) mask update and the
+      pathologically slow where(-inf) masked argmax.
+    - The Cholesky append needs g = G[I, k_new]; instead of touching G's
+      rows it uses gathered dictionary columns: g = Dsel . d_k with
+      Dsel (N, T, p), d_k (N, p) — p << K, so the gather is tiny.
+    """
     N, K = A0.shape
+    p = Dt.shape[1]
     carry = dict(
-        Grows=jnp.zeros((N, T, K), A0.dtype),   # gathered rows G[I, :]
+        C=jnp.zeros((N, K), A0.dtype),          # dense codes so far
+        Dsel=jnp.zeros((N, T, p), A0.dtype),    # selected atoms (columns of D)
         Linv=jnp.zeros((N, T, T), A0.dtype),
         idx=jnp.zeros((N, T), jnp.int32),
         a0sel=jnp.zeros((N, T), A0.dtype),
-        selmask=jnp.zeros((N, K), bool),
         done=jnp.zeros((N,), bool),
         err=xnormsq,
         nsel=jnp.zeros((N,), jnp.int32),
@@ -112,26 +138,25 @@ def _batch_omp_impl(G, A0, xnormsq, eps, *, T, eps_mode, precision):
         if eps_mode:
             stop = stop | (c["err"] <= eps * eps)
 
-        Alpha = A0 - jnp.einsum(
-            "nt,ntk->nk", c["gamma"], c["Grows"], precision=precision
-        )
-        scores = jnp.where(c["selmask"], -jnp.inf, jnp.abs(Alpha))
-        k = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        Alpha = A0 - jnp.matmul(c["C"], G, precision=precision)
+        k = _argmax_abs(Alpha)
 
-        grow = jnp.take(G, k, axis=0)                      # (N, K)
-        g = jnp.take_along_axis(grow, c["idx"], axis=1)    # (N, T)
+        dk = jnp.take(Dt, k, axis=0)                       # (N, p)
+        g = jnp.einsum("ntp,np->nt", c["Dsel"], dk, precision=precision)
         Linv, nu = _append_cholesky_inv(c["Linv"], g, t)
-        bad = nu <= 1e-6                                   # dependent atom
+        bad = nu <= 1e-6              # dependent or duplicate atom
 
-        Grows = lax.dynamic_update_slice_in_dim(
-            c["Grows"], grow[:, None, :], t, axis=1
+        Dsel = lax.dynamic_update_slice_in_dim(
+            c["Dsel"], dk[:, None, :], t, axis=1
         )
         idx = lax.dynamic_update_slice_in_dim(c["idx"], k[:, None], t, axis=1)
         a0k = jnp.take_along_axis(A0, k[:, None], axis=1)
         a0sel = lax.dynamic_update_slice_in_dim(c["a0sel"], a0k, t, axis=1)
         gamma = _solve_gamma(Linv, a0sel)
 
-        selmask = c["selmask"].at[jnp.arange(N), k].set(True)
+        C = jnp.zeros_like(c["C"]).at[
+            jnp.arange(N)[:, None], idx
+        ].add(gamma)
         err = xnormsq - jnp.sum(gamma * a0sel, axis=1)
 
         frozen = stop | bad
@@ -139,11 +164,11 @@ def _batch_omp_impl(G, A0, xnormsq, eps, *, T, eps_mode, precision):
             frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
         )
         out = dict(
-            Grows=fz(Grows, c["Grows"]),
+            C=fz(C, c["C"]),
+            Dsel=fz(Dsel, c["Dsel"]),
             Linv=fz(Linv, c["Linv"]),
             idx=fz(idx, c["idx"]),
             a0sel=fz(a0sel, c["a0sel"]),
-            selmask=fz(selmask, c["selmask"]),
             done=frozen,
             err=fz(err, c["err"]),
             nsel=jnp.where(frozen, c["nsel"], c["nsel"] + 1),
@@ -175,7 +200,7 @@ def batch_omp(
     A0 = jnp.matmul(X.T, D, precision=precision)      # (N, K)
     xnormsq = jnp.sum(X * X, axis=0)
     res = _batch_omp_impl(
-        G, A0, xnormsq, 0.0 if eps is None else float(eps),
+        G, D.T, A0, xnormsq, 0.0 if eps is None else float(eps),
         T=T, eps_mode=eps is not None, precision=precision,
     )
     return res.dense(D.shape[1]) if dense else res
@@ -200,7 +225,6 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision):
         Linv=jnp.zeros((N, T, T), D.dtype),
         idx=jnp.zeros((N, T), jnp.int32),
         a0sel=jnp.zeros((N, T), D.dtype),
-        selmask=jnp.zeros((N, K), bool),
         done=jnp.zeros((N,), bool),
         err=xnormsq,
         nsel=jnp.zeros((N,), jnp.int32),
@@ -212,8 +236,7 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision):
             stop = stop | (c["err"] <= eps * eps)
 
         corr = jnp.matmul(c["r"], D, precision=precision)  # (N, K)
-        scores = jnp.where(c["selmask"], -jnp.inf, jnp.abs(corr))
-        k = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        k = _argmax_abs(corr)
 
         dk = jnp.take(D.T, k, axis=0)                      # (N, p)
         g = jnp.einsum("ntp,np->nt", c["Dsel"], dk, precision=precision)
@@ -229,7 +252,6 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision):
         gamma = _solve_gamma(Linv, a0sel)
 
         r = Xt - jnp.einsum("nt,ntp->np", gamma, Dsel, precision=precision)
-        selmask = c["selmask"].at[jnp.arange(N), k].set(True)
         err = jnp.sum(r * r, axis=1)
 
         frozen = stop | bad
@@ -242,7 +264,6 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision):
             Linv=fz(Linv, c["Linv"]),
             idx=fz(idx, c["idx"]),
             a0sel=fz(a0sel, c["a0sel"]),
-            selmask=fz(selmask, c["selmask"]),
             done=frozen,
             err=fz(err, c["err"]),
             nsel=jnp.where(frozen, c["nsel"], c["nsel"] + 1),
@@ -355,6 +376,131 @@ def group_omp(
         n_groups=n_groups, T=T, eps_mode=eps is not None, precision=precision,
     )
     return Gamma
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "nnls_iters", "precision")
+)
+def _nn_omp_impl(G, A0, xnormsq, *, T, nnls_iters, precision):
+    """Batched non-negative OMP (oracle.nn_omp semantics).
+
+    Selection: argmax of the *signed* residual correlation; a lane freezes
+    when its best correlation is <= 0 (no atom can reduce the residual with
+    a nonnegative coefficient).  The per-step NNLS over the active set is
+    solved with accelerated projected gradient on the (T, T) restricted
+    Gram — small, batched, fixed trip count.
+    """
+    N, K = A0.shape
+    carry = dict(
+        C=jnp.zeros((N, K), A0.dtype),
+        Gsel=jnp.zeros((N, T, T), A0.dtype),    # G[I, I]
+        idx=jnp.zeros((N, T), jnp.int32),
+        a0sel=jnp.zeros((N, T), A0.dtype),
+        smask=jnp.zeros((N, T), A0.dtype),      # valid-slot mask
+        done=jnp.zeros((N,), bool),
+        gamma=jnp.zeros((N, T), A0.dtype),
+        nsel=jnp.zeros((N,), jnp.int32),
+    )
+    iotaT = jnp.arange(T)
+
+    def step(c, t):
+        Alpha = A0 - jnp.matmul(c["C"], G, precision=precision)
+        # exclude already-selected atoms (nonneg codes keep their alpha
+        # positive-ish, so unlike plain OMP we mask explicitly — via the
+        # max/min-iota trick to avoid the slow masked argmax)
+        sel = jnp.zeros((N, K), A0.dtype).at[
+            jnp.arange(N)[:, None], c["idx"]
+        ].add(c["smask"])
+        s = Alpha - 1e30 * sel
+        mx = jnp.max(s, axis=1)
+        iota = lax.broadcasted_iota(jnp.int32, (N, K), 1)
+        k = jnp.min(
+            jnp.where(s == mx[:, None], iota, K), axis=1
+        ).astype(jnp.int32)
+        stop = c["done"] | (mx <= 0.0)
+
+        # append to restricted Gram: row/col g = G[I, k], diag G[k, k]=1
+        grow_sel = jnp.take_along_axis(
+            jnp.take(G, k, axis=0), c["idx"], axis=1
+        ) * c["smask"]                                       # (N, T)
+        e_t = jax.nn.one_hot(t, T, dtype=A0.dtype)
+        Gsel = (
+            c["Gsel"]
+            + e_t[None, :, None] * grow_sel[:, None, :]
+            + e_t[None, None, :] * grow_sel[:, :, None]
+            + (e_t[:, None] * e_t[None, :])[None]
+        )
+        idx = lax.dynamic_update_slice_in_dim(c["idx"], k[:, None], t, axis=1)
+        a0k = jnp.take_along_axis(A0, k[:, None], axis=1)
+        a0sel = lax.dynamic_update_slice_in_dim(c["a0sel"], a0k, t, axis=1)
+        smask = jnp.maximum(c["smask"], e_t[None, :])
+
+        # NNLS: min_{g>=0} g^T Gsel g / 2 - a0sel^T g, FISTA with step 1/L
+        L = jnp.sum(jnp.abs(Gsel), axis=2).max(axis=1) + 1e-6  # row-sum bound
+        def pg(state, _):
+            g, y, tk = state
+            grad = jnp.einsum("nij,nj->ni", Gsel, y) - a0sel
+            gn = jnp.maximum(y - grad / L[:, None], 0.0) * smask
+            tk1 = 0.5 * (1 + jnp.sqrt(1 + 4 * tk * tk))
+            yn = gn + ((tk - 1) / tk1) * (gn - g)
+            return (gn, yn, tk1), None
+
+        g0 = c["gamma"]
+        (gamma, _, _), _ = lax.scan(
+            pg, (g0, g0, jnp.ones(())), None, length=nnls_iters
+        )
+
+        C = jnp.zeros_like(c["C"]).at[
+            jnp.arange(N)[:, None], idx
+        ].add(gamma)
+
+        frozen = stop
+        fz = lambda new, old: jnp.where(
+            frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+        )
+        out = dict(
+            C=fz(C, c["C"]),
+            Gsel=fz(Gsel, c["Gsel"]),
+            idx=fz(idx, c["idx"]),
+            a0sel=fz(a0sel, c["a0sel"]),
+            smask=fz(smask, c["smask"]),
+            done=frozen,
+            gamma=fz(gamma, c["gamma"]),
+            nsel=jnp.where(frozen, c["nsel"], c["nsel"] + 1),
+        )
+        return out, None
+
+    carry, _ = lax.scan(step, carry, jnp.arange(T))
+    err = (
+        xnormsq
+        - 2 * jnp.sum(carry["gamma"] * carry["a0sel"], axis=1)
+        + jnp.einsum(
+            "nt,ntj,nj->n", carry["gamma"], carry["Gsel"], carry["gamma"]
+        )
+    )
+    return GreedyResult(
+        idx=carry["idx"],
+        gamma=carry["gamma"],
+        err=err,
+        nsel=carry["nsel"],
+    )
+
+
+def nn_omp(
+    D: jax.Array, X: jax.Array, T: int, *, nnls_iters: int = 100,
+    precision=_HI, dense: bool = True,
+):
+    """Non-negative OMP (oracle.nn_omp): positive-correlation selection +
+    NNLS over the active set.  Returns Gamma (K, N) >= 0."""
+    D = jnp.asarray(D, jnp.float32)
+    X = jnp.asarray(X, jnp.float32)
+    G = jnp.matmul(D.T, D, precision=precision)
+    A0 = jnp.matmul(X.T, D, precision=precision)
+    xnormsq = jnp.sum(X * X, axis=0)
+    res = _nn_omp_impl(
+        G, A0, xnormsq, T=T, nnls_iters=nnls_iters, precision=precision
+    )
+    return res.dense(D.shape[1]) if dense else res
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))

@@ -114,3 +114,20 @@ def test_degenerate_dictionary_frozen_lanes(rng):
     X = rng.standard_normal((8, 16))
     out = np.asarray(batch_omp(D.astype(np.float32), X.astype(np.float32), 4))
     assert np.isfinite(out).all()
+
+
+def test_nn_omp_matches_oracle(rng):
+    from lyssandra_tpu.solvers import nn_omp
+
+    D, X, _ = make_problem(rng, p=16, K=48, N=24, T=4)
+    Xp = np.abs(X)
+    ref = oracle.nn_omp(D, Xp, 4)
+    out = np.asarray(
+        nn_omp(D.astype(np.float32), Xp.astype(np.float32), 4)
+    ).astype(np.float64)
+    assert (out >= 0).all()
+    # supports may differ on marginal atoms (NNLS solver tolerance); compare
+    # reconstruction quality instead of exact codes
+    r_ref = np.linalg.norm(Xp - D @ ref, axis=0)
+    r_out = np.linalg.norm(Xp - D @ out, axis=0)
+    assert (r_out <= r_ref + 0.05 * np.linalg.norm(Xp, axis=0)).all()

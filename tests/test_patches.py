@@ -89,3 +89,29 @@ def test_normalize_and_coherence(rng):
     G = np.abs(Dn.T @ Dn)
     np.fill_diagonal(G, 0)
     np.testing.assert_allclose(mu, G.max(), atol=1e-6)
+
+
+def test_whitener_matches_oracle(rng):
+    from lyssandra_tpu.config import WhitenConfig
+    from lyssandra_tpu.ops.whitening import Whitener
+    from lyssandra_tpu import oracle
+
+    X = rng.standard_normal((16, 500))
+    ref = oracle.ZCAWhitener(eps=1e-2).fit(X)
+    w = Whitener(WhitenConfig(eps=1e-2)).fit(X.astype(np.float32))
+    Xw = np.asarray(w.transform(X.astype(np.float32)))
+    np.testing.assert_allclose(Xw, ref.transform(X), atol=2e-3)
+    back = np.asarray(w.inverse_transform(Xw))
+    np.testing.assert_allclose(back, X, atol=2e-3)
+
+
+def test_whitener_pca_mode(rng):
+    from lyssandra_tpu.config import WhitenConfig
+    from lyssandra_tpu.ops.whitening import Whitener
+
+    X = rng.standard_normal((16, 400)).astype(np.float32)
+    w = Whitener(WhitenConfig(eps=1e-5, pca_dim=8)).fit(X)
+    Xw = np.asarray(w.transform(X))
+    assert Xw.shape == (8, 400)
+    C = Xw @ Xw.T / 400
+    np.testing.assert_allclose(C, np.eye(8), atol=5e-2)
