@@ -48,19 +48,23 @@ def measure_tpu(D, Xblocks):
         # scalar checksum: fetching it forces completion of the whole step
         return res, jnp.sum(res.err)
 
-    # Warm up compile AND the device->host fetch path: on this machine's
-    # tunneled backend block_until_ready returns early and the first host
-    # fetch pays a large one-time cost, so sync via scalar fetches.
-    for _ in range(2):
-        _, chk = run(blocks[0])
+    # Warm up compile, the device->host fetch path, AND every input buffer:
+    # on this machine's tunneled backend block_until_ready returns early,
+    # the first host fetch pays a large one-time cost, and first-touch of
+    # each device buffer is slow — so do one full untimed pass, syncing via
+    # scalar fetches.
+    for Xb in blocks:
+        _, chk = run(Xb)
         float(np.asarray(chk))
 
-    t0 = time.perf_counter()
-    chks = [run(Xb)[1] for Xb in blocks]
-    total = jnp.sum(jnp.stack(chks))   # depends on every block's result
-    float(np.asarray(total))
-    dt = time.perf_counter() - t0
-    return len(blocks) * blocks[0].shape[1] / dt
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chks = [run(Xb)[1] for Xb in blocks]
+        total = jnp.sum(jnp.stack(chks))   # depends on every block's result
+        float(np.asarray(total))
+        best = min(best, time.perf_counter() - t0)
+    return len(blocks) * blocks[0].shape[1] / best
 
 
 def main():
