@@ -18,11 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from lyssandra_tpu.config import DenoiseConfig
-from lyssandra_tpu.ops.patches import (
-    extract_patches,
-    remove_dc,
-    weighted_reconstruct,
-)
+from lyssandra_tpu.ops.pallas_patches import fused_patch_pipeline
+from lyssandra_tpu.ops.patches import weighted_reconstruct
 from lyssandra_tpu.solvers.encoder import SparseEncoder
 
 
@@ -44,8 +41,8 @@ class Denoiser:
         p = cfg.patch
         noisy = jnp.asarray(noisy, jnp.float32)
 
-        X = extract_patches(noisy, p)
-        Xc, means = remove_dc(X)
+        # fused Pallas extract+DC on TPU; XLA ops elsewhere
+        Xc, means, _ = fused_patch_pipeline(noisy, p, do_dc=True)
         eps = cfg.gain * p * sigma
         enc = SparseEncoder(
             "bomp", {"T": cfg.T_max, "eps": eps},

@@ -1,0 +1,54 @@
+"""Fused Pallas patch-pipeline kernel vs oracle (interpreter mode on the
+CPU test platform; the compiled Mosaic path is exercised on the real chip
+by the verify flows and the denoiser)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lyssandra_tpu import oracle
+from lyssandra_tpu.ops.pallas_patches import (
+    fused_patch_pipeline,
+    fused_patch_pipeline_p1,
+)
+
+
+def _ref(img, p, do_dc, do_norm):
+    X = oracle.extract_patches(img.astype(np.float64), p)
+    Xc, m = oracle.remove_dc(X)
+    if do_dc:
+        X = Xc
+    Xn, s = oracle.contrast_normalize(X)
+    if do_norm:
+        X = Xn
+    return X, m, s
+
+
+@pytest.mark.parametrize("shape", [(32, 40), (33, 47), (24, 24)])
+@pytest.mark.parametrize("do_dc,do_norm", [(True, False), (True, True),
+                                           (False, False)])
+def test_fused_pipeline_matches_oracle(rng, shape, do_dc, do_norm):
+    img = rng.standard_normal(shape).astype(np.float32)
+    X, M, S = fused_patch_pipeline_p1(
+        jnp.asarray(img), 8, do_dc=do_dc, do_norm=do_norm, interpret=True
+    )
+    # oracle's contrast scales are computed post-DC only when DC is on
+    ref = oracle.extract_patches(img.astype(np.float64), 8)
+    refc, refm = oracle.remove_dc(ref)
+    base = refc if do_dc else ref
+    refn, refs = oracle.contrast_normalize(base)
+    want = refn if do_norm else base
+    np.testing.assert_allclose(np.asarray(X), want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(M), refm, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(S), refs, atol=1e-4)
+
+
+def test_fused_pipeline_fallback_strided(rng):
+    # non-unit stride routes through the XLA path with the same contract
+    img = rng.standard_normal((32, 32)).astype(np.float32)
+    X, M, S = fused_patch_pipeline(jnp.asarray(img), 8, stride=4, do_dc=True)
+    ref = oracle.extract_patches(img.astype(np.float64), 8, stride=4)
+    refc, refm = oracle.remove_dc(ref)
+    np.testing.assert_allclose(np.asarray(X), refc, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(M), refm, atol=1e-5)
