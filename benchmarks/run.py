@@ -1,0 +1,223 @@
+"""The five BASELINE.json experiment configs, runnable end to end.
+
+    python -m benchmarks.run --config 1 [--quick] [--oracle]
+
+Each config measures the TPU implementation (wall-clock + quality metric)
+and, with --oracle, the in-tree NumPy reference on the same (downscaled
+when --quick) problem, emitting a JSON result to benchmarks/results/.
+
+Configs (BASELINE.json `configs`):
+  1. OMP coding of 10k 8x8 gray patches, fixed DCT K=256, T=5
+  2. K-SVD: 50k 8x8 patches, K=512, 20 iterations, Batch-OMP coding
+  3. Denoising (barbara/lena, sigma=25): PSNR parity check
+  4. Feature-sign lasso + online DL, 100k color patches, K=1024
+  5. LC-KSVD / SRC classification on a small digit set
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    leaves = [t for t in __import__("jax").tree.leaves(x)
+              if hasattr(t, "dtype")]
+    return float(np.asarray(sum(jnp.sum(jnp.abs(t)) for t in leaves)))
+
+
+def _images(quick):
+    from lyssandra_tpu.utils import standard_test_image
+
+    size = 128 if quick else 512
+    return {
+        "barbara": standard_test_image("barbara", size),
+        "lena": standard_test_image("lena", size),
+    }
+
+
+def config1(quick=False, run_oracle=False):
+    """OMP coding, 10k patches, DCT K=256, T=5."""
+    import jax.numpy as jnp
+
+    from lyssandra_tpu import dct_dictionary, oracle
+    from lyssandra_tpu.solvers import omp
+    from lyssandra_tpu.utils import patch_dataset
+
+    n = 2000 if quick else 10000
+    X = patch_dataset(list(_images(quick).values()), p=8, n_patches=n)
+    D = dct_dictionary(8, 256)
+    Xj = jnp.asarray(X, jnp.float32)
+
+    _sync(omp(D, Xj, 5))  # compile
+    t0 = time.perf_counter()
+    Gamma = omp(D, Xj, 5)
+    _sync(Gamma)
+    dt = time.perf_counter() - t0
+    G = np.asarray(Gamma, np.float64)
+    rel_err = float(
+        np.linalg.norm(X - np.asarray(D, np.float64) @ G)
+        / np.linalg.norm(X)
+    )
+    out = {
+        "config": 1, "n_patches": n, "tpu_seconds": dt,
+        "tpu_patches_per_sec": n / dt, "rel_reconstruction_err": rel_err,
+    }
+    if run_oracle:
+        no = min(n, 1000)
+        t0 = time.perf_counter()
+        Go = oracle.omp(np.asarray(D, np.float64), X[:, :no], 5)
+        oracle_dt = time.perf_counter() - t0
+        out["oracle_patches_per_sec"] = no / oracle_dt
+        out["speedup"] = out["tpu_patches_per_sec"] * oracle_dt / no
+        out["max_code_diff"] = float(np.abs(G[:, :no] - Go).max())
+    return out
+
+
+def config2(quick=False, run_oracle=False):
+    """K-SVD dictionary learning with Batch-OMP coding."""
+    from lyssandra_tpu import KSVDConfig, KSVDLearner
+    from lyssandra_tpu.utils import patch_dataset
+
+    n, K, iters = (5000, 128, 5) if quick else (50000, 512, 20)
+    X = patch_dataset(list(_images(quick).values()), p=8,
+                      n_patches=n).astype(np.float32)
+    t0 = time.perf_counter()
+    learner = KSVDLearner(KSVDConfig(K=K, T=8, n_iter=iters)).fit(X)
+    dt = time.perf_counter() - t0
+    return {
+        "config": 2, "n_patches": n, "K": K, "iters": iters,
+        "tpu_seconds": dt,
+        "final_rmse": learner.history_[-1]["rmse"],
+        "objective_trace": [h["objective"] for h in learner.history_],
+    }
+
+
+def config3(quick=False, run_oracle=False):
+    """Denoising PSNR parity (barbara/lena, sigma=25)."""
+    import jax.numpy as jnp
+
+    from lyssandra_tpu import DenoiseConfig, dct_dictionary, denoise, oracle
+
+    sigma = 25.0
+    D = dct_dictionary(8, 256)
+    cfg = DenoiseConfig(sigma=sigma, T_max=16, block=16384)
+    out = {"config": 3, "sigma": sigma, "images": {}}
+    rng = np.random.default_rng(7)
+    for name, img in _images(quick).items():
+        noisy = img + sigma * rng.standard_normal(img.shape)
+        t0 = time.perf_counter()
+        den = denoise(noisy.astype(np.float32), D, sigma, cfg=cfg)
+        _sync(den)
+        dt = time.perf_counter() - t0
+        rec = {
+            "psnr_noisy": oracle.psnr(noisy, img),
+            "psnr_tpu": oracle.psnr(np.asarray(den, np.float64), img),
+            "tpu_seconds": dt,
+        }
+        if run_oracle:
+            t0 = time.perf_counter()
+            ref = oracle.denoise(noisy, np.asarray(D, np.float64), sigma,
+                                 T_max=16)
+            rec["oracle_seconds"] = time.perf_counter() - t0
+            rec["psnr_oracle"] = oracle.psnr(ref, img)
+            rec["psnr_gap"] = abs(rec["psnr_tpu"] - rec["psnr_oracle"])
+        out["images"][name] = rec
+    return out
+
+
+def config4(quick=False, run_oracle=False):
+    """Feature-sign lasso coding + online dictionary learning (color)."""
+    from lyssandra_tpu import OnlineDLConfig
+    from lyssandra_tpu.dict_learning import OnlineDictionaryLearner
+    from lyssandra_tpu.utils import patch_dataset, synthetic_image
+
+    n, K, bs = (10000, 256, 256) if quick else (100000, 1024, 1024)
+    # 'color': stack three phase-shifted channels -> 3*p^2-dim patches
+    chans = [synthetic_image("texture", 256, seed=s) for s in range(3)]
+    Xc = [patch_dataset([c], p=8, n_patches=n, seed=1) for c in chans]
+    X = np.concatenate(Xc, axis=0).astype(np.float32)     # (192, n)
+    # unit-norm patches + lam ~ 0.15, the Mairal et al. operating regime —
+    # lasso on raw-scale patches (|x| ~ 1e3 vs lam) is effectively lam -> 0
+    # and degenerates into a dense least-squares problem
+    X /= np.maximum(np.linalg.norm(X, axis=0, keepdims=True), 1e-8)
+    learner = OnlineDictionaryLearner(
+        OnlineDLConfig(K=K, lam=0.15, batch_size=bs)
+    )
+    t0 = time.perf_counter()
+    learner.fit(X, n_epochs=1)
+    dt = time.perf_counter() - t0
+    return {
+        "config": 4, "n_patches": n, "K": K, "dim": X.shape[0],
+        "tpu_seconds": dt,
+        "batch_objective_first": learner.history_[0]["batch_objective"],
+        "batch_objective_last": learner.history_[-1]["batch_objective"],
+        "avg_nnz_last": learner.history_[-1]["avg_nnz"],
+    }
+
+
+def config5(quick=False, run_oracle=False):
+    """LC-KSVD / SRC on the sklearn digits set (bundled, offline)."""
+    from sklearn.datasets import load_digits
+    from sklearn.model_selection import train_test_split
+
+    from lyssandra_tpu import LCKSVD, LCKSVDConfig
+    from lyssandra_tpu.classify import SRCClassifier
+
+    digits = load_digits()
+    X = digits.data.T.astype(np.float32)          # (64, 1797)
+    X /= np.maximum(np.linalg.norm(X, axis=0, keepdims=True), 1e-9)
+    y = digits.target
+    Xtr, Xte, ytr, yte = train_test_split(
+        X.T, y, test_size=0.3, random_state=0, stratify=y
+    )
+    Xtr, Xte = Xtr.T, Xte.T
+
+    t0 = time.perf_counter()
+    lc = LCKSVD(LCKSVDConfig(K=200, T=8, n_iter=4 if quick else 10)).fit(
+        Xtr, ytr
+    )
+    lc_dt = time.perf_counter() - t0
+    lc_acc = lc.score(Xte, yte)
+
+    t0 = time.perf_counter()
+    src = SRCClassifier(T=10).fit(Xtr, ytr)
+    src_acc = src.score(Xte, yte)
+    src_dt = time.perf_counter() - t0
+    return {
+        "config": 5, "n_train": Xtr.shape[1], "n_test": Xte.shape[1],
+        "lcksvd_accuracy": lc_acc, "lcksvd_seconds": lc_dt,
+        "src_accuracy": src_acc, "src_seconds": src_dt,
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, required=True, choices=CONFIGS)
+    ap.add_argument("--quick", action="store_true",
+                    help="downscaled problem sizes")
+    ap.add_argument("--oracle", action="store_true",
+                    help="also run the NumPy oracle for parity/speedup")
+    args = ap.parse_args()
+
+    result = CONFIGS[args.config](quick=args.quick, run_oracle=args.oracle)
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    path = os.path.join(RESULTS_DIR, f"config{args.config}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,6 +154,7 @@ class KSVDLearner:
         self, cfg: KSVDConfig = KSVDConfig(), *,
         encoder: SparseEncoder | None = None, verbose: bool = False,
         callback: Callable[[int, dict], None] | None = None,
+        workspace=None, checkpoint_every: int = 5,
     ):
         self.cfg = cfg
         self.encoder = encoder or SparseEncoder(
@@ -161,9 +162,12 @@ class KSVDLearner:
         )
         self.verbose = verbose
         self.callback = callback
+        self.workspace = workspace           # utils.Workspace for resume
+        self.checkpoint_every = checkpoint_every
         self.history_: list[dict[str, Any]] = []
 
-    def fit(self, X, D0=None, n_iter: int | None = None) -> "KSVDLearner":
+    def fit(self, X, D0=None, n_iter: int | None = None,
+            resume: bool = False) -> "KSVDLearner":
         X = jnp.asarray(X, jnp.float32)
         cfg = self.cfg
         D = (
@@ -171,17 +175,36 @@ class KSVDLearner:
             if D0 is not None
             else init_dictionary(X, cfg.K, cfg.init, cfg.seed)
         )
-        for it in range(n_iter if n_iter is not None else cfg.n_iter):
+        start = 0
+        if resume and self.workspace is not None:
+            step, state = self.workspace.load_latest_state(
+                {"D": D, "iter": jnp.zeros((), jnp.int32)}
+            )
+            if step is not None:
+                D = state["D"]
+                start = int(state["iter"]) + 1
+        total = n_iter if n_iter is not None else cfg.n_iter
+        Gamma = None
+        for it in range(start, total):
             t0 = time.perf_counter()
             D, Gamma, metrics = ksvd_step(X, D, self.encoder, cfg)
             jax.block_until_ready(D)
             metrics["seconds"] = time.perf_counter() - t0
             metrics["patches_per_sec"] = X.shape[1] / metrics["seconds"]
+            metrics["iter"] = it
             self.history_.append(metrics)
             if self.verbose:
                 print(f"[ksvd it {it}] {metrics}")
             if self.callback is not None:
                 self.callback(it, metrics)
+            if self.workspace is not None:
+                self.workspace.log_metrics(metrics)
+                if (it + 1) % self.checkpoint_every == 0 or it == total - 1:
+                    self.workspace.save_state(
+                        it, {"D": D, "iter": jnp.asarray(it, jnp.int32)}
+                    )
+        if Gamma is None:                     # fully resumed: re-code once
+            Gamma = self.encoder.encode(X, D)
         self.D_ = D
         self.Gamma_ = Gamma
         return self

@@ -77,7 +77,7 @@ def _feature_sign_impl(
         Mp = jnp.where(
             (maskf[:, :, None] * maskf[:, None, :]) > 0, M, eyeA[None]
         )
-        Mp = Mp + 1e-12 * eyeA[None]
+        Mp = Mp + 1e-6 * eyeA[None]   # fp32 conditioning (unit-norm Gram)
         a0sel = jnp.take_along_axis(A0, idx, axis=1) * maskf
         rhs = (a0sel - lam * theta / 2.0) * maskf
         gnew = jnp.linalg.solve(Mp, rhs[..., None])[..., 0] * maskf
@@ -182,8 +182,9 @@ def _feature_sign_impl(
     mask = jnp.zeros((N, A), bool)
     theta = jnp.zeros((N, A), A0.dtype)
     gact = jnp.zeros((N, A), A0.dtype)
-    # lanes with all |D^T x| <= lam are optimal at g = 0 immediately
-    done0 = jnp.all(jnp.abs(A0) <= lam + 1e-12, axis=1)
+    # lanes where g = 0 already satisfies the KKT conditions:
+    # |grad| = |2 D^T x| <= lam everywhere
+    done0 = jnp.all(2.0 * jnp.abs(A0) <= lam + 1e-12, axis=1)
     st = lax.while_loop(
         outer_cond, outer_step,
         (idx, mask, theta, gact, done0,
@@ -197,13 +198,19 @@ def _feature_sign_impl(
 def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 100, max_inner: int = 20,
-    full_result: bool = False,
+    full_result: bool = False, polish: bool = True,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
     Solves min_g ||x - D g||^2 + lam ||g||_1 per column of X.  Returns the
     dense code matrix Gamma (K, N), or a FeatureSignResult with
     convergence/overflow diagnostics when full_result=True.
+
+    Robustness: feature-sign's active-set swaps can limit-cycle in fp32
+    when the solution is dense (small lam, nnz -> p) — outside the
+    algorithm's sparse design domain.  With ``polish`` (default), lanes
+    that did not reach their KKT conditions are re-solved with FISTA and
+    the better objective wins, so every lane converges for every lam.
     """
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
@@ -214,6 +221,20 @@ def feature_sign(
         G, A0, xnormsq, float(lam),
         max_active=max_active, max_iter=max_iter, max_inner=max_inner,
     )
+    if polish and bool(jnp.any(~res.done | res.overflow)):
+        Gf = fista(D, X, lam, n_iter=500)
+
+        def obj(Gm):
+            R = X - jnp.matmul(D, Gm, precision=_HI)
+            return jnp.sum(R * R, axis=0) + lam * jnp.sum(jnp.abs(Gm),
+                                                          axis=0)
+
+        better = obj(Gf) < obj(res.Gamma)
+        take_f = (~res.done | res.overflow) & better
+        Gamma = jnp.where(take_f[None, :], Gf, res.Gamma)
+        res = FeatureSignResult(
+            Gamma, res.n_iter, res.done | take_f, res.overflow & ~take_f
+        )
     return res if full_result else res.Gamma
 
 

@@ -120,3 +120,27 @@ def test_online_learner_objective_trend(rng):
     assert obj1 < obj0
     nrm = np.linalg.norm(np.asarray(learner.D_), axis=0)
     assert (nrm <= 1.0 + 1e-5).all()
+
+
+def test_ksvd_checkpoint_resume(rng, tmp_path):
+    from lyssandra_tpu.utils import Workspace
+
+    D, X, _ = make_problem(rng, p=16, K=24, N=200, T=3)
+    Xf = np.asarray(X, np.float32)
+    cfg = KSVDConfig(K=24, T=3, n_iter=4, replace_dead=False, seed=0)
+
+    ws = Workspace(str(tmp_path / "run"))
+    a = KSVDLearner(cfg, workspace=ws, checkpoint_every=2).fit(Xf)
+    # a fresh learner resumes from the last checkpoint and skips finished
+    # iterations
+    b = KSVDLearner(cfg, workspace=ws, checkpoint_every=2)
+    b.fit(Xf, resume=True)
+    assert len(b.history_) == 0  # nothing left to do
+    np.testing.assert_allclose(np.asarray(b.D_), np.asarray(a.D_), atol=1e-6)
+    # partial resume: new workspace checkpointed at iter 1, resume runs 2..3
+    ws2 = Workspace(str(tmp_path / "run2"))
+    c = KSVDLearner(cfg, workspace=ws2, checkpoint_every=2)
+    c.fit(Xf, n_iter=2)
+    d = KSVDLearner(cfg, workspace=ws2, checkpoint_every=2)
+    d.fit(Xf, resume=True)
+    assert [h["iter"] for h in d.history_] == [2, 3]

@@ -25,9 +25,11 @@ def _ref(img, p, do_dc, do_norm):
     return X, m, s
 
 
-@pytest.mark.parametrize("shape", [(32, 40), (33, 47), (24, 24)])
-@pytest.mark.parametrize("do_dc,do_norm", [(True, False), (True, True),
-                                           (False, False)])
+@pytest.mark.parametrize("shape,do_dc,do_norm", [
+    ((32, 40), True, False),     # the denoiser configuration
+    ((33, 47), True, True),      # awkward (non-tile-aligned) shape
+    ((24, 24), False, False),    # raw extraction
+])
 def test_fused_pipeline_matches_oracle(rng, shape, do_dc, do_norm):
     img = rng.standard_normal(shape).astype(np.float32)
     X, M, S = fused_patch_pipeline_p1(
