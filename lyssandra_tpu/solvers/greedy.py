@@ -188,14 +188,35 @@ def _batch_omp_impl(G, Dt, A0, xnormsq, eps, *, T, eps_mode, precision):
 
 def batch_omp(
     D: jax.Array, X: jax.Array, T: int, eps: float | None = None,
-    *, precision=_HI, dense: bool = True,
+    *, precision=_HI, dense: bool = True, refresh: str = "auto",
 ):
-    """Batch-OMP: Gram precompute + progressive Cholesky (oracle.batch_omp).
+    """Batch-OMP: progressive Cholesky over the precomputed Gram
+    (oracle.batch_omp semantics; per-patch parity tested).
 
     D: (p, K) unit-norm dictionary.  X: (p, N) signals.  T-sparse mode
     (eps=None) or error-constrained mode (stop when ||r||_2 <= eps, never
     exceeding T atoms).  Returns Gamma (K, N) if dense, else GreedyResult.
+
+    refresh: how the per-step correlation vector alpha = D^T r is updated.
+      'gram'     — Rubinstein's alpha = alpha0 - G_I gamma, a dense
+                   (N, K) x (K, K) MXU matmul per step: 2 N K^2 flops.
+      'residual' — alpha = (x - D_I gamma)^T D: 4 N p K flops per step.
+      'auto'     — pick by flop count (residual iff 2p < K).
+    The classic CPU analysis favors 'gram' (residuals cost cache misses);
+    on the MXU the inequality is pure flops and flips for overcomplete
+    dictionaries (p << K) — measured 7.8x faster at p=64, K=1024, with
+    identical supports and ~1e-6 coefficient agreement.  The progressive
+    Cholesky machinery is shared either way.
     """
+    p, K = D.shape
+    if refresh == "auto":
+        refresh = "residual" if 2 * p < K else "gram"
+    if refresh == "residual":
+        res = _omp_impl(
+            D, X, 0.0 if eps is None else float(eps),
+            T=T, eps_mode=eps is not None, precision=precision,
+        )
+        return res.dense(K) if dense else res
     G = jnp.matmul(D.T, D, precision=precision)
     A0 = jnp.matmul(X.T, D, precision=precision)      # (N, K)
     xnormsq = jnp.sum(X * X, axis=0)
@@ -203,7 +224,7 @@ def batch_omp(
         G, D.T, A0, xnormsq, 0.0 if eps is None else float(eps),
         T=T, eps_mode=eps is not None, precision=precision,
     )
-    return res.dense(D.shape[1]) if dense else res
+    return res.dense(K) if dense else res
 
 
 @functools.partial(
@@ -230,10 +251,16 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision):
         nsel=jnp.zeros((N,), jnp.int32),
     )
 
-    def step(c, t):
+    # eps-mode lanes are marked done as soon as their residual passes the
+    # target, and the WHOLE loop exits early once every lane is done — a
+    # lax.while_loop (bounded by T), not a fixed scan: denoising runs with
+    # T_max=16..32 but most patches converge in 1-3 atoms.
+    if eps_mode:
+        carry["done"] = carry["done"] | (xnormsq <= eps * eps)
+
+    def step(st):
+        t, c = st
         stop = c["done"]
-        if eps_mode:
-            stop = stop | (c["err"] <= eps * eps)
 
         corr = jnp.matmul(c["r"], D, precision=precision)  # (N, K)
         k = _argmax_abs(corr)
@@ -258,19 +285,27 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision):
         fz = lambda new, old: jnp.where(
             frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
         )
+        err_out = fz(err, c["err"])
+        done = frozen
+        if eps_mode:
+            done = done | (err_out <= eps * eps)
         out = dict(
             r=fz(r, c["r"]),
             Dsel=fz(Dsel, c["Dsel"]),
             Linv=fz(Linv, c["Linv"]),
             idx=fz(idx, c["idx"]),
             a0sel=fz(a0sel, c["a0sel"]),
-            done=frozen,
-            err=fz(err, c["err"]),
+            done=done,
+            err=err_out,
             nsel=jnp.where(frozen, c["nsel"], c["nsel"] + 1),
         )
-        return out, None
+        return (t + 1, out)
 
-    carry, _ = lax.scan(step, carry, jnp.arange(T))
+    def cond(st):
+        t, c = st
+        return (t < T) & ~jnp.all(c["done"])
+
+    _, carry = lax.while_loop(cond, step, (jnp.zeros((), jnp.int32), carry))
     gamma = _solve_gamma(carry["Linv"], carry["a0sel"])
     valid = jnp.arange(T)[None, :] < carry["nsel"][:, None]
     return GreedyResult(
