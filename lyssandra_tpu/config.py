@@ -63,8 +63,11 @@ class LCKSVDConfig:
     K: int = 512
     T: int = 8
     n_iter: int = 10
-    alpha: float = 4.0           # label-consistency weight (sqrt applied in stack)
-    beta: float = 2.0            # classification weight
+    # weights tuned for unit-norm inputs (sqrt applied in the stack);
+    # large values let the label blocks dominate the stacked signal and
+    # hurt accuracy — measured on the digits benchmark (config 5)
+    alpha: float = 0.25          # label-consistency weight
+    beta: float = 0.125          # classification weight
     seed: int = 0
 
 

@@ -70,7 +70,7 @@ def test_src_matches_oracle(rng):
 def test_lc_ksvd_end_to_end(rng):
     Xtr, ytr, protos = _digits_like(rng, C=3, per=40, p=32)
     Xte, yte, _ = _digits_like(rng, C=3, per=15, p=32, protos=protos)
-    cfg = LCKSVDConfig(K=24, T=4, n_iter=4, alpha=4.0, beta=2.0)
+    cfg = LCKSVDConfig(K=24, T=4, n_iter=4)
     clf = LCKSVD(cfg).fit(Xtr, ytr)
     assert clf.D_.shape == (32, 24)
     assert clf.A_.shape == (24, 24)

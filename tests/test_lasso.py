@@ -72,3 +72,46 @@ def test_fista_objective(rng):
     o_ref = _objective(D, X, ref, lam)
     o_out = _objective(D, X, out, lam)
     np.testing.assert_allclose(o_out, o_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_lars_matches_feature_sign(rng):
+    from lyssandra_tpu.solvers.lasso import lars
+
+    D, X, _ = make_problem(rng, p=16, K=32, N=16, T=3)
+    lam = 0.2
+    ref = oracle.lasso(D, X, lam)
+    out = np.asarray(lars(D, X, lam)).astype(np.float64)
+    o_ref = _objective(D, X, ref, lam)
+    o_out = _objective(D, X, out, lam)
+    np.testing.assert_allclose(o_out, o_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_lars_vs_sklearn_lassolars(rng):
+    from sklearn.linear_model import LassoLars
+
+    from lyssandra_tpu.solvers.lasso import lars
+
+    D, X, _ = make_problem(rng, p=16, K=32, N=8, T=3)
+    lam = 0.3
+    out = np.asarray(lars(D, X, lam)).astype(np.float64)
+    for n in range(X.shape[1]):
+        sk = LassoLars(alpha=lam / (2 * D.shape[0]), fit_intercept=False,
+                       max_iter=10000).fit(D, X[:, n])
+        np.testing.assert_allclose(out[:, n], sk.coef_, atol=5e-3)
+
+
+def test_lars_zero_and_path_ends(rng):
+    from lyssandra_tpu.solvers.lasso import lars
+
+    D, X, _ = make_problem(rng, p=16, K=32, N=8, T=2)
+    # lam above lambda_max: exactly zero
+    G0 = np.asarray(lars(D, X, 1e4))
+    assert (G0 == 0).all()
+    # KKT at a moderate lam
+    lam = 0.25
+    G = np.asarray(lars(D, X, lam, full_result=True)[0]).astype(np.float64)
+    gr = 2 * (D.T @ (D @ G - X))
+    act = np.abs(G) > 1e-8
+    assert (np.abs(gr + lam * np.sign(G))[act] < 5e-3).all()
+    assert (np.abs(gr[~act]) <= lam + 5e-3).all()
