@@ -330,52 +330,135 @@ def omp(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_groups", "T", "eps_mode", "precision"),
+    static_argnames=("n_groups", "gs", "T", "eps_mode", "precision"),
 )
-def _group_omp_impl(G, A0, xnormsq, groups, member, eps,
-                    *, n_groups, T, eps_mode, precision):
-    """groups: (K,) int group id per atom; member: (K, n_groups) one-hot."""
-    N, K = A0.shape
-    A = member.shape[0]  # == K; active capacity is all atoms, masked
+def _group_omp_impl(D, X, members, mmask, member_oh, eps,
+                    *, n_groups, gs, T, eps_mode, precision):
+    """Progressive BLOCK inverse-Cholesky group pursuit, batch_omp-style.
+
+    members: (n_groups, gs) atom ids, padded groups 0-filled; mmask: matching
+    validity mask.  The active set lives in T group slots of gs atom slots
+    each (A = T*gs total), so per-lane state is O(A^2) — independent of K
+    (the old masked-(K, K)-solve design needed O(N K^2) memory and could not
+    run at K=1024, N=32k).  Each step appends a gs-wide block to the inverse
+    Cholesky factor:
+
+        W = Linv g_cross,  S = G_new - W^T W,  Lb = chol(S),
+        new rows = [-Lb^{-1} W^T Linv | Lb^{-1}].
+
+    Padded atom slots carry identity rows (zero coupling, zero rhs) so their
+    coefficients are exactly 0.  Lanes freeze when every group is selected
+    (oracle no-ops there), on eps convergence, or on Cholesky breakdown.
+    """
+    p, K = D.shape
+    N = X.shape[1]
+    A = T * gs
+    Xt = X.T                                        # (N, p)
+    xnormsq = jnp.sum(Xt * Xt, axis=1)
+    eye_gs = jnp.eye(gs, dtype=D.dtype)
     carry = dict(
-        gsel=jnp.zeros((N, n_groups), bool),   # selected groups
-        amask=jnp.zeros((N, K), A0.dtype),     # active-atom mask (0/1)
+        r=Xt,                                       # explicit residual
+        Dsel=jnp.zeros((N, A, p), D.dtype),         # selected atoms
+        Linv=jnp.zeros((N, A, A), D.dtype),
+        idx=jnp.zeros((N, A), jnp.int32),
+        smask=jnp.zeros((N, A), D.dtype),           # valid-slot mask
+        a0sel=jnp.zeros((N, A), D.dtype),
+        gsel=jnp.zeros((N, n_groups), bool),
         done=jnp.zeros((N,), bool),
         err=xnormsq,
-        gamma=jnp.zeros((N, K), A0.dtype),
+        gamma=jnp.zeros((N, A), D.dtype),
         nsel=jnp.zeros((N,), jnp.int32),
     )
 
     def step(c, t):
-        stop = c["done"]
+        stop = c["done"] | jnp.all(c["gsel"], axis=1)
         if eps_mode:
             stop = stop | (c["err"] <= eps * eps)
 
-        Alpha = A0 - jnp.matmul(c["gamma"], G, precision=precision)
-        # group scores: ||D_g^T r||^2 = sum of alpha^2 over members
-        S = jnp.matmul(Alpha * Alpha, member, precision=precision)
-        S = jnp.where(c["gsel"], -jnp.inf, S)
-        gbest = jnp.argmax(S, axis=1).astype(jnp.int32)
+        corr = jnp.matmul(c["r"], D, precision=precision)     # (N, K)
+        # group scores ||D_g^T r||^2; selected groups masked via the
+        # subtract-big trick (where(-inf)+argmax lowers poorly on TPU)
+        S = jnp.matmul(corr * corr, member_oh, precision=precision)
+        S = S - 1e30 * c["gsel"].astype(D.dtype)
+        mx = jnp.max(S, axis=1)
+        iota = lax.broadcasted_iota(jnp.int32, (N, n_groups), 1)
+        gbest = jnp.min(
+            jnp.where(S == mx[:, None], iota, n_groups), axis=1
+        ).astype(jnp.int32)
 
+        midx = jnp.take(members, gbest, axis=0)               # (N, gs)
+        mvalid = jnp.take(mmask, gbest, axis=0)               # (N, gs)
+        dnew = jnp.take(D.T, midx, axis=0) * mvalid[..., None]  # (N, gs, p)
+
+        # block append to the inverse Cholesky factor
+        g_cross = jnp.einsum(
+            "nap,ngp->nag", c["Dsel"], dnew, precision=precision
+        )
+        W = jnp.einsum("nab,nbg->nag", c["Linv"], g_cross)    # (N, A, gs)
+        Gnn = jnp.einsum("ngp,nhp->ngh", dnew, dnew, precision=precision)
+        Gnn = Gnn + eye_gs[None] * (1.0 - mvalid.astype(D.dtype))[:, :, None]
+        Schur = Gnn - jnp.einsum("nag,nah->ngh", W, W)
+        # rank-deficient blocks (a group can hold more atoms than p dims)
+        # make Schur PSD-singular; a scaled jitter keeps the factorization
+        # alive (ridge ~ min-norm; the refinement below drives the residual
+        # to the span projection, matching the oracle's lstsq residual),
+        # escalating x1e4 for lanes where fp32 rounding still breaks chol
+        scale = jnp.max(jnp.abs(Schur), axis=(1, 2)) + 1e-3
+        Lb = jnp.linalg.cholesky(Schur + 1e-9 * eye_gs[None])
+        retry = ~jnp.all(jnp.isfinite(Lb), axis=(1, 2))
+        Lb2 = jnp.linalg.cholesky(
+            Schur + (1e-2 * scale)[:, None, None] * eye_gs[None]
+        )
+        Lb = jnp.where(retry[:, None, None], Lb2, Lb)
+        bad = ~jnp.all(jnp.isfinite(Lb), axis=(1, 2))
+        Lb = jnp.where(bad[:, None, None], eye_gs[None], Lb)
+        Lbinv = lax.linalg.triangular_solve(
+            Lb, jnp.broadcast_to(eye_gs[None], Lb.shape),
+            left_side=True, lower=True,
+        )
+        newrows = -jnp.einsum(
+            "ngh,nah,nab->ngb", Lbinv, W, c["Linv"]
+        )                                                     # (N, gs, A)
+        newrows = lax.dynamic_update_slice(
+            newrows, Lbinv, (0, 0, t * gs)
+        )
+        Linv = lax.dynamic_update_slice(c["Linv"], newrows, (0, t * gs, 0))
+
+        Dsel = lax.dynamic_update_slice(c["Dsel"], dnew, (0, t * gs, 0))
+        idx = lax.dynamic_update_slice(c["idx"], midx, (0, t * gs))
+        smask = lax.dynamic_update_slice(
+            c["smask"], mvalid.astype(D.dtype), (0, t * gs)
+        )
+        a0new = jnp.einsum("ngp,np->ng", dnew, Xt, precision=precision)
+        a0sel = lax.dynamic_update_slice(c["a0sel"], a0new, (0, t * gs))
+
+        # iterative refinement: the wide active sets group OMP builds
+        # (T * gs atoms, possibly ~p) condition far worse than plain OMP's,
+        # and fp32 progressive Cholesky alone loses ~3 digits there
+        gamma = _solve_gamma(Linv, a0sel)
+        for _ in range(2):
+            r = Xt - jnp.einsum(
+                "na,nap->np", gamma, Dsel, precision=precision
+            )
+            gamma = gamma + _solve_gamma(
+                Linv, jnp.einsum("nap,np->na", Dsel, r, precision=precision)
+            )
+        r = Xt - jnp.einsum("na,nap->np", gamma, Dsel, precision=precision)
+        err = jnp.sum(r * r, axis=1)
         gsel = c["gsel"].at[jnp.arange(N), gbest].set(True)
-        amask = c["amask"] + jnp.take(member.T, gbest, axis=0)
 
-        # masked normal-equations solve over the active set:
-        # (M G M + (I - diag(M))) gamma = M a0, zero rows/cols padded to I
-        Gm = G[None] * amask[:, :, None] * amask[:, None, :]
-        Gm = Gm + (jnp.eye(K)[None] * (1.0 - amask[:, :, None]))
-        Gm = Gm + 1e-8 * jnp.eye(K)[None]
-        rhs = A0 * amask
-        gamma = jnp.linalg.solve(Gm, rhs[..., None])[..., 0] * amask
-
-        err = xnormsq - jnp.sum(gamma * A0, axis=1)
-        frozen = stop
+        frozen = stop | bad
         fz = lambda new, old: jnp.where(
             frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
         )
         out = dict(
+            r=fz(r, c["r"]),
+            Dsel=fz(Dsel, c["Dsel"]),
+            Linv=fz(Linv, c["Linv"]),
+            idx=fz(idx, c["idx"]),
+            smask=fz(smask, c["smask"]),
+            a0sel=fz(a0sel, c["a0sel"]),
             gsel=fz(gsel, c["gsel"]),
-            amask=fz(amask, c["amask"]),
             done=frozen,
             err=fz(err, c["err"]),
             gamma=fz(gamma, c["gamma"]),
@@ -384,7 +467,10 @@ def _group_omp_impl(G, A0, xnormsq, groups, member, eps,
         return out, None
 
     carry, _ = lax.scan(step, carry, jnp.arange(T))
-    return carry["gamma"].T, carry["err"]
+    C = jnp.zeros((N, K), D.dtype).at[
+        jnp.arange(N)[:, None], carry["idx"]
+    ].add(carry["gamma"] * carry["smask"])
+    return C.T, carry["err"]
 
 
 def group_omp(
@@ -395,20 +481,31 @@ def group_omp(
     union of selected groups' atoms.  ``groups``: (K,) int array of group ids
     in [0, n_groups).  Returns dense Gamma (K, N).
 
-    Note: the per-step solve is a batched masked (K, K) solve — intended for
-    moderate K (the group-OMP use cases); the T-sparse hot path is batch_omp.
+    TPU-first: fixed group-slot capacity with progressive block-Cholesky —
+    per-lane state is O((T * group_size)^2), so K=1024 at N=32k fits HBM
+    (the batch_omp design generalized to gs-wide appends).
     """
     import numpy as np
 
-    groups = jnp.asarray(groups, jnp.int32)
-    n_groups = int(np.asarray(groups).max()) + 1
-    member = jax.nn.one_hot(groups, n_groups, dtype=D.dtype)  # (K, n_groups)
-    G = jnp.matmul(D.T, D, precision=precision)
-    A0 = jnp.matmul(X.T, D, precision=precision)
-    xnormsq = jnp.sum(X * X, axis=0)
+    D = jnp.asarray(D, jnp.float32)
+    X = jnp.asarray(X, jnp.float32)
+    groups_np = np.asarray(groups, np.int64)
+    n_groups = int(groups_np.max()) + 1
+    gs = int(np.bincount(groups_np, minlength=n_groups).max())
+    members = np.zeros((n_groups, gs), np.int32)
+    mmask = np.zeros((n_groups, gs), bool)
+    for g in range(n_groups):
+        mem = np.where(groups_np == g)[0]
+        members[g, : len(mem)] = mem
+        mmask[g, : len(mem)] = True
+    member_oh = jax.nn.one_hot(
+        jnp.asarray(groups_np, jnp.int32), n_groups, dtype=D.dtype
+    )
     Gamma, _ = _group_omp_impl(
-        G, A0, xnormsq, groups, member, 0.0 if eps is None else float(eps),
-        n_groups=n_groups, T=T, eps_mode=eps is not None, precision=precision,
+        D, X, jnp.asarray(members), jnp.asarray(mmask), member_oh,
+        0.0 if eps is None else float(eps),
+        n_groups=n_groups, gs=gs, T=min(T, n_groups),
+        eps_mode=eps is not None, precision=precision,
     )
     return Gamma
 

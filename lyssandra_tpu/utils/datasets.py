@@ -11,6 +11,7 @@ self-contained and deterministically.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -114,7 +115,9 @@ def standard_test_image(name: str = "barbara", size: int = 256) -> np.ndarray:
     kind = {"barbara": "texture", "lena": "mix", "boat": "edges"}.get(
         name, "mix"
     )
-    return synthetic_image(kind, size=size, seed=abs(hash(name)) % (2**31))
+    # stable cross-process digest (Python's str hash is salted per process,
+    # which would make 'barbara' a different image on every run)
+    return synthetic_image(kind, size=size, seed=zlib.crc32(name.encode()))
 
 
 def patch_dataset(

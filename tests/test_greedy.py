@@ -88,11 +88,68 @@ def test_compact_result(rng):
 def test_group_omp_matches_oracle(rng):
     D, X, _ = make_problem(rng, p=16, K=48, N=24, T=4)
     groups = np.repeat(np.arange(12), 4)
+    for T in (2, 3):
+        ref = oracle.group_omp(D, X, groups, T=T)
+        out = np.asarray(
+            group_omp(D.astype(np.float32), X.astype(np.float32), groups, T=T)
+        )
+        np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_group_omp_more_steps_than_groups(rng):
+    # T > n_groups: oracle no-ops once every group is selected; lanes must
+    # freeze instead of re-selecting group 0 (round-1 advisor finding)
+    D, X, _ = make_problem(rng, p=16, K=48, N=24, T=4)
+    groups = np.repeat(np.arange(4), 12)
+    ref = oracle.group_omp(D, X, groups, T=6)
+    out = np.asarray(
+        group_omp(D.astype(np.float32), X.astype(np.float32), groups, T=6)
+    )
+    # unions of 12-atom groups exceed p=16 dims -> LS solution non-unique;
+    # parity is on the residual (what group OMP minimizes), not the codes
+    rr = np.linalg.norm(X - D @ ref, axis=0)
+    ro = np.linalg.norm(X - D @ out.astype(np.float64), axis=0)
+    np.testing.assert_allclose(ro, rr, atol=1e-4)
+
+
+def test_group_omp_variable_group_sizes(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=24, T=4)
+    groups = np.concatenate(
+        [np.zeros(10), np.ones(20), np.full(18, 2)]
+    ).astype(int)
     ref = oracle.group_omp(D, X, groups, T=2)
     out = np.asarray(
         group_omp(D.astype(np.float32), X.astype(np.float32), groups, T=2)
     )
+    rr = np.linalg.norm(X - D @ ref, axis=0)
+    ro = np.linalg.norm(X - D @ out.astype(np.float64), axis=0)
+    np.testing.assert_allclose(ro, rr, atol=1e-4)
+
+
+def test_group_omp_eps_mode(rng):
+    D, X, _ = make_problem(rng, p=16, K=48, N=24, T=4)
+    groups = np.repeat(np.arange(12), 4)
+    ref = oracle.group_omp(D, X, groups, T=6, eps=0.5)
+    out = np.asarray(
+        group_omp(
+            D.astype(np.float32), X.astype(np.float32), groups, T=6, eps=0.5
+        )
+    )
     np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_group_omp_scales_to_large_K(rng):
+    # the point of the block-Cholesky design: per-lane state is
+    # O((T*gs)^2), independent of K — the old masked (K, K)-solve design
+    # needed O(N K^2) memory and could not run at this size
+    p, K, N = 32, 1024, 2048
+    D = rng.standard_normal((p, K)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    X = rng.standard_normal((p, N)).astype(np.float32)
+    groups = np.repeat(np.arange(128), 8)
+    out = np.asarray(group_omp(D, X, groups, T=3))
+    assert np.isfinite(out).all()
+    assert ((np.abs(out) > 0).sum(axis=0) <= 24).all()
 
 
 def test_threshold_matches_oracle(rng):
