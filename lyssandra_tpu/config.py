@@ -52,9 +52,15 @@ class KSVDConfig:
 class OnlineDLConfig:
     K: int = 1024
     lam: float = 0.15
-    batch_size: int = 256
+    batch_size: int = 4096       # lanes per coding call (chip sweet spot
+    #                              is thousands; 256-lane batches left the
+    #                              MXU ~99% idle in round 1)
     n_sweeps: int = 1
     beta: float = 1.0            # forgetting factor on sufficient statistics
+    chunk_batches: int = 8       # minibatches scanned per device program
+    fs_max_active: int = 64      # feature-sign active-set capacity
+    fs_max_iter: int = 60        # feature-sign outer iterations (in-scan)
+    fs_max_inner: int = 20
     seed: int = 0
 
 

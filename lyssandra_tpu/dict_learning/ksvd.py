@@ -155,10 +155,12 @@ class KSVDLearner:
         encoder: SparseEncoder | None = None, verbose: bool = False,
         callback: Callable[[int, dict], None] | None = None,
         workspace=None, checkpoint_every: int = 5,
+        mesh: jax.sharding.Mesh | None = None,
     ):
         self.cfg = cfg
+        self.mesh = mesh
         self.encoder = encoder or SparseEncoder(
-            "bomp", {"T": cfg.T}, check_atoms=False
+            "bomp", {"T": cfg.T}, check_atoms=False, mesh=mesh
         )
         self.verbose = verbose
         self.callback = callback
@@ -170,11 +172,24 @@ class KSVDLearner:
             resume: bool = False) -> "KSVDLearner":
         X = jnp.asarray(X, jnp.float32)
         cfg = self.cfg
+        if self.mesh is not None:
+            # patch axis sharded over 'data'; D replicates below.  The
+            # atom-update matvecs contract over the sharded axis, so XLA
+            # inserts the psums — the public class trains multi-chip
+            # (SURVEY.md §2.2; the round-1 gap was that only the private
+            # parallel.sharded_ksvd_step did)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            X = jax.device_put(X, NamedSharding(self.mesh, P(None, "data")))
         D = (
             jnp.asarray(D0, jnp.float32)
             if D0 is not None
             else init_dictionary(X, cfg.K, cfg.init, cfg.seed)
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            D = jax.device_put(D, NamedSharding(self.mesh, P()))
         start = 0
         if resume and self.workspace is not None:
             step, state = self.workspace.load_latest_state(

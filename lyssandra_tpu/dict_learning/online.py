@@ -10,26 +10,39 @@ accumulates sufficient statistics
 and runs ``n_sweeps`` of sequential block-coordinate descent over atoms
 (``lax.scan`` — Gauss-Seidel order matches the paper and the oracle):
 
-    d_k <- proj_{||.||<=1}( d_k + (b_k - D a_k) / A_kk ).
+    d_k <- proj_{||.||<=1}( d_k + (b_k - D a_k) / A_kk + d_k ).
 
-Under a data mesh, Gamma Gamma^T and X Gamma^T contract over the sharded
-patch axis — XLA's psum makes the statistics global automatically.
-Matches oracle.online_dl_step.
+TPU-native hot path: ``fit`` scans ``chunk_batches`` minibatches per device
+program (coding + statistics + atom sweep all inside one ``lax.scan``), so
+an epoch costs a handful of dispatches instead of one launch + host sync
+per minibatch — the round-1 design ran config 4 *slower than the CPU
+oracle* on launch overhead alone.  Chunking (not one monolithic program)
+respects the TPU worker's kernel watchdog.
+
+Under a data mesh the minibatch lane axis is sharded; Gamma Gamma^T and
+X Gamma^T contract over it and XLA's psum makes the statistics global
+automatically.  Matches oracle.online_dl_step.
 """
 
 from __future__ import annotations
 
 import functools
+import time
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from lyssandra_tpu.config import OnlineDLConfig
 from lyssandra_tpu.ops.dictionaries import init_dictionary
-from lyssandra_tpu.solvers.lasso import feature_sign as _feature_sign, \
-    fista as _fista
+from lyssandra_tpu.solvers.lasso import (
+    feature_sign as _feature_sign,
+    feature_sign_scan as _feature_sign_scan,
+    fista as _fista,
+    _fista_body,
+)
 
 _HI = lax.Precision.HIGHEST
 
@@ -41,8 +54,7 @@ class OnlineDLState(NamedTuple):
     step: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps",))
-def _dict_update(D, A, B, n_sweeps: int):
+def _dict_update_body(D, A, B, n_sweeps: int):
     K = D.shape[1]
 
     def update_atom(D, k):
@@ -60,6 +72,65 @@ def _dict_update(D, A, B, n_sweeps: int):
     for _ in range(n_sweeps):
         D, _ = lax.scan(update_atom, D, jnp.arange(K))
     return D
+
+
+_dict_update = jax.jit(_dict_update_body, static_argnames=("n_sweeps",))
+
+
+def _code_batch(D, Xb, lam, coder: str, fs_opts: dict):
+    if coder == "feature_sign":
+        return _feature_sign_scan(D, Xb, lam, **fs_opts)
+    if coder == "fista":
+        A0 = jnp.matmul(D.T, Xb, precision=_HI)
+        g0 = jnp.zeros((D.shape[1], Xb.shape[1]), D.dtype)
+        return _fista_body(D, Xb, A0, lam, g0, n_iter=300)
+    raise ValueError(coder)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_sweeps", "coder", "max_active", "max_iter", "max_inner"
+    ),
+)
+def _online_chunk(
+    D, A, B, Xc, lam, beta,
+    *, n_sweeps, coder, max_active, max_iter, max_inner,
+):
+    """Scan the Mairal update over a chunk of minibatches in ONE device
+    program.  Xc: (nb, p, bs).  Returns (D, A, B, objs, nnzs) with
+    per-minibatch post-update objective and average nnz."""
+    fs_opts = dict(
+        max_active=max_active, max_iter=max_iter, max_inner=max_inner
+    )
+
+    def step(state, Xb):
+        D, A, B = state
+        Gamma = _code_batch(D, Xb, lam, coder, fs_opts)
+        A = beta * A + jnp.matmul(Gamma, Gamma.T, precision=_HI)
+        B = beta * B + jnp.matmul(Xb, Gamma.T, precision=_HI)
+        D = _dict_update_body(D, A, B, n_sweeps)
+        R = Xb - jnp.matmul(D, Gamma, precision=_HI)
+        obj = jnp.sum(R * R) + lam * jnp.sum(jnp.abs(Gamma))
+        nnz = jnp.mean(jnp.sum((jnp.abs(Gamma) > 1e-10).astype(
+            jnp.float32), axis=0))
+        return (D, A, B), (obj, nnz)
+
+    (D, A, B), (objs, nnzs) = lax.scan(step, (D, A, B), Xc)
+    return D, A, B, objs, nnzs
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def holdout_objective(D, Xh, lam, n_iter: int = 300) -> jax.Array:
+    """Fixed-set lasso objective (FISTA-coded) — a COMPARABLE convergence
+    metric for online DL: per-minibatch objectives on different data are
+    not comparable (round-1 weak point: a 'rising' objective that only
+    reflected batch difficulty)."""
+    A0 = jnp.matmul(D.T, Xh, precision=_HI)
+    g0 = jnp.zeros((D.shape[1], Xh.shape[1]), D.dtype)
+    G = _fista_body(D, Xh, A0, lam, g0, n_iter=n_iter)
+    R = Xh - jnp.matmul(D, G, precision=_HI)
+    return (jnp.sum(R * R) + lam * jnp.sum(jnp.abs(G))) / Xh.shape[1]
 
 
 def online_dl_step(
@@ -83,16 +154,20 @@ class OnlineDictionaryLearner:
     """Reference-mirroring online learner with ``partial_fit`` (SURVEY §2.1).
 
     ``partial_fit(Xb)`` consumes one minibatch; ``fit(X, n_epochs)`` streams
-    minibatches from X.  State is a pure OnlineDLState (checkpointable).
+    minibatches from X through the chunked on-device scan.  State is a pure
+    OnlineDLState (checkpointable).  With ``mesh``, minibatch lanes shard
+    over the 'data' axis and D/A/B replicate (statistics psum automatically).
     """
 
     def __init__(
         self, cfg: OnlineDLConfig = OnlineDLConfig(), *,
         coder: str = "feature_sign", verbose: bool = False,
+        mesh: jax.sharding.Mesh | None = None,
     ):
         self.cfg = cfg
         self.coder = coder
         self.verbose = verbose
+        self.mesh = mesh
         self.state: OnlineDLState | None = None
         self.history_: list[dict[str, Any]] = []
 
@@ -105,6 +180,15 @@ class OnlineDictionaryLearner:
             jnp.zeros((K, K), jnp.float32),
             jnp.zeros((p, K), jnp.float32),
             jnp.zeros((), jnp.int32),
+        )
+
+    def _shard_chunk(self, Xc):
+        if self.mesh is None:
+            return jnp.asarray(Xc)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            Xc, NamedSharding(self.mesh, P(None, None, "data"))
         )
 
     def partial_fit(self, Xb) -> "OnlineDictionaryLearner":
@@ -126,17 +210,61 @@ class OnlineDictionaryLearner:
             print(f"[online-dl] {m}")
         return self
 
-    def fit(self, X, n_epochs: int = 1, seed: int = 0):
-        import numpy as np
+    def fit(self, X, n_epochs: int = 1, seed: int = 0,
+            holdout=None) -> "OnlineDictionaryLearner":
+        """Stream minibatches of X (p, N) through the chunked device scan.
 
-        X = jnp.asarray(X, jnp.float32)
-        N = X.shape[1]
-        bs = self.cfg.batch_size
+        holdout: optional (p, Nh) fixed signal set; its lasso objective is
+        recorded after every chunk in ``history_`` (key
+        ``holdout_objective``) — the comparable convergence trace.
+        """
+        X = np.asarray(X, np.float32)
+        p, N = X.shape
+        cfg = self.cfg
+        bs = cfg.batch_size
+        cb = cfg.chunk_batches
+        nb_total = N // bs
+        if nb_total == 0:
+            raise ValueError(f"need >= batch_size={bs} signals, got {N}")
+        Xh = None if holdout is None else jnp.asarray(holdout, jnp.float32)
         rng = np.random.default_rng(seed)
         for _ in range(n_epochs):
             perm = rng.permutation(N)
-            for s in range(0, N - bs + 1, bs):
-                self.partial_fit(X[:, perm[s : s + bs]])
+            if self.state is None:
+                # init from the first minibatch the stream will see, so a
+                # fit() run equals the same-order partial_fit sequence
+                self.state = self._init_state(jnp.asarray(X[:, perm[:bs]]))
+            for s in range(0, nb_total, cb):
+                nb = min(cb, nb_total - s)
+                cols = perm[s * bs : (s + nb) * bs]
+                Xc = self._shard_chunk(
+                    np.ascontiguousarray(
+                        X[:, cols].reshape(p, nb, bs).transpose(1, 0, 2)
+                    )
+                )
+                t0 = time.perf_counter()
+                D, A, B, objs, nnzs = _online_chunk(
+                    self.state.D, self.state.A, self.state.B, Xc,
+                    cfg.lam, cfg.beta,
+                    n_sweeps=cfg.n_sweeps, coder=self.coder,
+                    max_active=cfg.fs_max_active, max_iter=cfg.fs_max_iter,
+                    max_inner=cfg.fs_max_inner,
+                )
+                m = dict(
+                    step=int(self.state.step) + nb,
+                    batch_objective=float(objs[-1]),
+                    avg_nnz=float(nnzs[-1]),
+                )
+                if Xh is not None:
+                    m["holdout_objective"] = float(
+                        holdout_objective(D, Xh, cfg.lam)
+                    )
+                m["seconds"] = time.perf_counter() - t0
+                m["patches_per_sec"] = nb * bs / m["seconds"]
+                self.state = OnlineDLState(D, A, B, self.state.step + nb)
+                self.history_.append(m)
+                if self.verbose:
+                    print(f"[online-dl] {m}")
         return self
 
     @property

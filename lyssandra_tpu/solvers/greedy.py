@@ -68,10 +68,13 @@ def _append_cholesky_inv(Linv, g, t):
     (Linv', nu) where nu = 1 - ||w||^2 (breakdown indicator).
     """
     T = Linv.shape[-1]
-    w = jnp.einsum("ntj,nj->nt", Linv, g)
+    # HIGHEST precision: DEFAULT lowers these matvecs to bf16 on TPU,
+    # which degrades the progressive factor to ~3 digits
+    w = jnp.einsum("ntj,nj->nt", Linv, g, precision=_HI)
     nu = 1.0 - jnp.sum(w * w, axis=-1)
     linv = lax.rsqrt(jnp.maximum(nu, 1e-12))
-    newrow = -linv[:, None] * jnp.einsum("nt,ntj->nj", w, Linv)
+    newrow = -linv[:, None] * jnp.einsum("nt,ntj->nj", w, Linv,
+                                         precision=_HI)
     e_t = jax.nn.one_hot(t, T, dtype=Linv.dtype)
     newrow = newrow + linv[:, None] * e_t[None, :]
     Linv = Linv + e_t[None, :, None] * newrow[:, None, :]
@@ -80,8 +83,8 @@ def _append_cholesky_inv(Linv, g, t):
 
 def _solve_gamma(Linv, a0sel):
     """gamma = (L L^T)^{-1} a0_I = Linv^T (Linv a0_I), batched."""
-    y = jnp.einsum("ntj,nj->nt", Linv, a0sel)
-    return jnp.einsum("njt,nj->nt", Linv, y)
+    y = jnp.einsum("ntj,nj->nt", Linv, a0sel, precision=_HI)
+    return jnp.einsum("njt,nj->nt", Linv, y, precision=_HI)
 
 
 def _argmax_abs(A):
@@ -394,10 +397,12 @@ def _group_omp_impl(D, X, members, mmask, member_oh, eps,
         g_cross = jnp.einsum(
             "nap,ngp->nag", c["Dsel"], dnew, precision=precision
         )
-        W = jnp.einsum("nab,nbg->nag", c["Linv"], g_cross)    # (N, A, gs)
+        W = jnp.einsum("nab,nbg->nag", c["Linv"], g_cross,
+                       precision=precision)    # (N, A, gs)
         Gnn = jnp.einsum("ngp,nhp->ngh", dnew, dnew, precision=precision)
         Gnn = Gnn + eye_gs[None] * (1.0 - mvalid.astype(D.dtype))[:, :, None]
-        Schur = Gnn - jnp.einsum("nag,nah->ngh", W, W)
+        Schur = Gnn - jnp.einsum("nag,nah->ngh", W, W,
+                                 precision=precision)
         # rank-deficient blocks (a group can hold more atoms than p dims)
         # make Schur PSD-singular; a scaled jitter keeps the factorization
         # alive (ridge ~ min-norm; the refinement below drives the residual
@@ -571,7 +576,8 @@ def _nn_omp_impl(G, A0, xnormsq, *, T, nnls_iters, precision):
         L = jnp.sum(jnp.abs(Gsel), axis=2).max(axis=1) + 1e-6  # row-sum bound
         def pg(state, _):
             g, y, tk = state
-            grad = jnp.einsum("nij,nj->ni", Gsel, y) - a0sel
+            grad = jnp.einsum("nij,nj->ni", Gsel, y,
+                              precision=precision) - a0sel
             gn = jnp.maximum(y - grad / L[:, None], 0.0) * smask
             tk1 = 0.5 * (1 + jnp.sqrt(1 + 4 * tk * tk))
             yn = gn + ((tk - 1) / tk1) * (gn - g)

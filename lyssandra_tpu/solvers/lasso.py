@@ -45,89 +45,37 @@ def _gather_gram(G, idx):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_active", "max_iter", "max_inner")
-)
-def _feature_sign_impl(
-    G, A0, xnormsq, lam, state, *, max_active, max_iter, max_inner
-):
-    """One SEGMENT of up to max_iter outer iterations from ``state``
-    (None-initialized by the wrapper).  Segmenting keeps each device
-    program short — a single unbounded while_loop can exceed the TPU
-    worker's kernel watchdog on dense problems (see ``feature_sign``).
+def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
+    """Up to ``max_iter`` outer feature-sign iterations from ``state``.
 
-    G = D^T D (K, K); A0 = D^T X as (N, K); xnormsq (N,)."""
+    TPU lowering notes (all measured; see CLAUDE.md):
+    - The active-set Gram M is built from GATHERED ATOMS — Dact (N, A, p)
+      then one MXU einsum — never by gathering rows of the (K, K) Gram:
+      per-lane (N, A, K) row gathers are ~20x slower than the matmul and
+      materialize gigabytes at the config-4 operating point.
+    - M and a0sel depend only on ``idx``, which is constant through the
+      inner refinement loop — they are hoisted OUT of the while_loop body
+      (the round-1 version recomputed the gather in both the body and the
+      cond, twice per refinement step).
+    - The full gradient uses the residual form 2 D^T (D g - x): 4NpK flops
+      vs the Gram form's 2NK^2 — 2.7x cheaper at the overcomplete config-4
+      shape (p=192, K=1024), same trick as batch_omp's refresh='auto'.
+
+    Dt = D^T (K, p); Xt = X^T (N, p); A0 = X^T D (N, K).
+    """
     N, K = A0.shape
     A = max_active
-    eyeA = jnp.eye(A, dtype=A0.dtype)
 
     def grad_full(gfull):
-        # d/dg ||x - Dg||^2 = 2 (G g - D^T x)
-        return 2.0 * (jnp.matmul(gfull, G, precision=_HI) - A0)
+        # d/dg ||x - Dg||^2 = 2 D^T (D g - x), residual form
+        R = jnp.matmul(gfull, Dt, precision=_HI) - Xt        # (N, p)
+        return 2.0 * jnp.matmul(R, Dt.T, precision=_HI)
 
     def dense(idx, mask, gact):
         z = jnp.zeros((N, K), A0.dtype)
         return z.at[jnp.arange(N)[:, None], idx].add(
             jnp.where(mask, gact, 0.0)
         )
-
-    def inner_step(st):
-        """One feature-sign refinement over the active set."""
-        idx, mask, theta, gact, iref = st
-        maskf = mask.astype(A0.dtype)
-        M = _gather_gram(G, idx)                            # (N, A, A)
-        M = M * maskf[:, :, None] * maskf[:, None, :]
-        M = M + eyeA[None] * (1.0 - maskf)[:, :, None] * eyeA[None]
-        # pad invalid rows/cols to identity so the solve is well-posed
-        Mp = jnp.where(
-            (maskf[:, :, None] * maskf[:, None, :]) > 0, M, eyeA[None]
-        )
-        Mp = Mp + 1e-6 * eyeA[None]   # fp32 conditioning (unit-norm Gram)
-        a0sel = jnp.take_along_axis(A0, idx, axis=1) * maskf
-        rhs = (a0sel - lam * theta / 2.0) * maskf
-        gnew = jnp.linalg.solve(Mp, rhs[..., None])[..., 0] * maskf
-
-        # discrete line search over zero crossings of g + t (gnew - g)
-        diff = gnew - gact
-        tcross = jnp.where(
-            jnp.abs(diff) > 1e-15, -gact / jnp.where(
-                jnp.abs(diff) > 1e-15, diff, 1.0
-            ), -1.0
-        )
-        valid_t = (tcross > 0.0) & (tcross < 1.0) & mask
-        ts = jnp.concatenate(
-            [jnp.ones((N, 1), A0.dtype), jnp.where(valid_t, tcross, 1.0)],
-            axis=1,
-        )                                                    # (N, A+1)
-        gt = gact[:, None, :] + ts[..., None] * diff[:, None, :]  # (N,C,A)
-        # obj(t) = ||x||^2 - 2 g.a0 + g^T M g + lam |g|_1  (constant dropped)
-        lin = -2.0 * jnp.einsum("nca,na->nc", gt, a0sel)
-        quad = jnp.einsum(
-            "nca,nab,ncb->nc", gt, Mp, gt, precision=_HI
-        )
-        l1 = lam * jnp.sum(jnp.abs(gt) * maskf[:, None, :], axis=2)
-        obj = lin + quad + l1
-        best = jnp.argmin(obj, axis=1)
-        gbest = jnp.take_along_axis(gt, best[:, None, None], axis=1)[:, 0]
-
-        # deactivate zeroed coefficients
-        nz = jnp.abs(gbest) >= 1e-12
-        mask2 = mask & nz
-        gact2 = jnp.where(mask2, gbest, 0.0)
-        theta2 = jnp.where(mask2, jnp.sign(gbest), 0.0)
-        return (idx, mask2, theta2, gact2, iref + 1)
-
-    def inner_cond(st):
-        idx, mask, theta, gact, iref = st
-        if_any = iref < max_inner
-        # active-set optimality: grad_A + lam * theta == 0
-        maskf = mask.astype(A0.dtype)
-        M = _gather_gram(G, idx) * maskf[:, :, None] * maskf[:, None, :]
-        a0sel = jnp.take_along_axis(A0, idx, axis=1) * maskf
-        gr = 2.0 * (jnp.einsum("nab,nb->na", M, gact) - a0sel)
-        viol = jnp.abs(gr + lam * theta) * maskf
-        lane_not_opt = jnp.any(viol > 1e-7, axis=1) & jnp.any(mask, axis=1)
-        return if_any & jnp.any(lane_not_opt)
 
     def outer_step(st):
         idx, mask, theta, gact, done, overflow, it = st
@@ -137,11 +85,17 @@ def _feature_sign_impl(
         is_active = jnp.zeros((N, K), bool).at[
             jnp.arange(N)[:, None], idx
         ].max(mask)
+        # activation threshold carries a relative slack matched to the
+        # done check below: in fp32 an atom with |gr| ~ lam flickers
+        # across an exact threshold between iterations (activate ->
+        # line-search zeroes it -> deactivate -> ...), limit-cycling 87%
+        # of lanes to max_iter (measured on chip).  Ignoring a violation
+        # of lam*(1+1e-4) costs O((|gr|-lam)^2) ~ 1e-8 lam^2 in objective.
         cand_score = jnp.where(is_active, -jnp.inf, jnp.abs(gr))
         istar = jnp.argmax(cand_score, axis=1).astype(jnp.int32)
         has_cand = jnp.take_along_axis(
             cand_score, istar[:, None], 1
-        )[:, 0] > lam + 1e-12
+        )[:, 0] > lam * (1.0 + 1e-4) + 1e-7
 
         # first free slot (mask False); overflow if none
         free = jnp.argmin(mask.astype(jnp.int32), axis=1).astype(jnp.int32)
@@ -156,26 +110,135 @@ def _feature_sign_impl(
         theta2 = jnp.where(slot_hot, -jnp.sign(gr_at)[:, None], theta)
         gact2 = jnp.where(slot_hot, 0.0, gact)
 
-        idx3, mask3, theta3, gact3, _ = lax.while_loop(
+        # idx is constant through the refinement loop: hoist the active-set
+        # geometry (Dact -> M, a0sel) out of the while_loop
+        Dact = jnp.take(Dt, idx2, axis=0)                   # (N, A, p)
+        M = jnp.einsum("nap,nbp->nab", Dact, Dact, precision=_HI)
+        a0all = jnp.einsum("nap,np->na", Dact, Xt, precision=_HI)
+
+        def kkt_not_opt(mask, theta, gact, tol=5e-6):
+            maskf = mask.astype(A0.dtype)
+            Mm = M * maskf[:, :, None] * maskf[:, None, :]
+            # precision matters: DEFAULT lowers to bf16 on TPU and floors
+            # the violation estimate at ~1e-3 — lanes then never pass the
+            # 1e-4 done check (measured: 87% of lanes stuck at max_iter)
+            grA = 2.0 * (
+                jnp.einsum("nab,nb->na", Mm, gact, precision=_HI)
+                - a0all * maskf
+            )
+            viol = jnp.abs(grA + lam * theta) * maskf
+            return jnp.any(viol > tol, axis=1) & jnp.any(mask, axis=1)
+
+        def masked_solve(maskf, rhs, gwarm):
+            """Solve (mask M mask + (1-mask) I + 1e-6 I) g = rhs by CG,
+            warm-started.  A direct batched LU at (N, A, A) costs ~92 ms on
+            chip (measured) and ran up to 20x per outer iteration; the
+            active-set minimizer moves little between refinements, so
+            warm-started CG exits in a handful of ~1 ms einsum matvecs."""
+
+            def op(v):
+                # HIGHEST precision: CG convergence below 1e-4 requires
+                # fp32-accurate matvecs (bf16 DEFAULT stagnates at ~1e-3)
+                Mv = jnp.einsum("nab,nb->na", M, v * maskf, precision=_HI)
+                return maskf * Mv + (1.0 - maskf) * v + 1e-6 * v
+
+            x0 = gwarm * maskf
+            r0 = rhs - op(x0)
+
+            def cg_step(st):
+                x, r, pv, rs, i = st
+                Mp = op(pv)
+                al = rs / (jnp.einsum("na,na->n", pv, Mp, precision=_HI) + 1e-30)
+                x = x + al[:, None] * pv
+                r = r - al[:, None] * Mp
+                rs2 = jnp.einsum("na,na->n", r, r, precision=_HI)
+                pv = r + (rs2 / (rs + 1e-30))[:, None] * pv
+                return (x, r, pv, rs2, i + 1)
+
+            def cg_cond(st):
+                _, _, _, rs, i = st
+                return (i < 32) & jnp.any(rs > 1e-12)  # ||r|| > 1e-6
+
+            rs0 = jnp.einsum("na,na->n", r0, r0, precision=_HI)
+            x, *_ = lax.while_loop(
+                cg_cond, cg_step, (x0, r0, r0, rs0, jnp.zeros((), jnp.int32))
+            )
+            return x * maskf
+
+        def inner_step(st):
+            """One feature-sign refinement over the active set."""
+            mask, theta, gact, iref, _ = st
+            maskf = mask.astype(A0.dtype)
+            a0sel = a0all * maskf
+            rhs = (a0sel - lam * theta / 2.0) * maskf
+            gnew = masked_solve(maskf, rhs, gact)
+
+            # discrete line search over zero crossings of g + t (gnew - g)
+            diff = gnew - gact
+            tcross = jnp.where(
+                jnp.abs(diff) > 1e-15, -gact / jnp.where(
+                    jnp.abs(diff) > 1e-15, diff, 1.0
+                ), -1.0
+            )
+            valid_t = (tcross > 0.0) & (tcross < 1.0) & mask
+            ts = jnp.concatenate(
+                [jnp.ones((N, 1), A0.dtype),
+                 jnp.where(valid_t, tcross, 1.0)],
+                axis=1,
+            )                                                # (N, A+1)
+            gt = gact[:, None, :] + ts[..., None] * diff[:, None, :]
+            # obj(t) = ||x||^2 - 2 g.a0 + g^T M g + lam |g|_1 (const dropped;
+            # gt is zero on inactive slots, so the unmasked M suffices)
+            lin = -2.0 * jnp.einsum("nca,na->nc", gt, a0sel, precision=_HI)
+            quad = jnp.einsum("nca,nab,ncb->nc", gt, M, gt, precision=_HI)
+            l1 = lam * jnp.sum(jnp.abs(gt) * maskf[:, None, :], axis=2)
+            obj = lin + quad + l1
+            best = jnp.argmin(obj, axis=1)
+            gbest = jnp.take_along_axis(gt, best[:, None, None], axis=1)[:, 0]
+
+            # deactivate zeroed coefficients
+            nz = jnp.abs(gbest) >= 1e-12
+            mask2 = mask & nz
+            gact2 = jnp.where(mask2, gbest, 0.0)
+            theta2 = jnp.where(mask2, jnp.sign(gbest), 0.0)
+            return (mask2, theta2, gact2, iref + 1,
+                    kkt_not_opt(mask2, theta2, gact2))
+
+        def inner_cond(st):
+            _, _, _, iref, not_opt = st
+            return (iref < max_inner) & jnp.any(not_opt)
+
+        mask3, theta3, gact3, _, not_opt3 = lax.while_loop(
             inner_cond, inner_step,
-            (idx2, mask2, theta2, gact2, jnp.zeros((), jnp.int32)),
+            (mask2, theta2, gact2, jnp.zeros((), jnp.int32),
+             kkt_not_opt(mask2, theta2, gact2)),
         )
 
-        # zero-coefficient optimality check
-        gfull3 = dense(idx3, mask3, gact3)
+        # full KKT check: zero-coefficient condition AND active-set
+        # stationarity — a lane can exit the inner loop on max_inner
+        # mid-limit-cycle with a LARGE active violation, and must not be
+        # declared done on the inactive condition alone.  The done
+        # tolerance (1e-4) is looser than the inner continuation tolerance
+        # (1e-7): fp32 refinement stalls around ~1e-6 violations, which are
+        # converged for every practical purpose, while a genuine mid-cycle
+        # exit violates by O(lam).
+        del not_opt3
+        gfull3 = dense(idx2, mask3, gact3)
         gr3 = grad_full(gfull3)
         is_act3 = jnp.zeros((N, K), bool).at[
-            jnp.arange(N)[:, None], idx3
+            jnp.arange(N)[:, None], idx2
         ].max(mask3)
         opt = jnp.all(
-            jnp.where(is_act3, 0.0, jnp.abs(gr3)) <= lam + 1e-6, axis=1
-        )
+            jnp.where(is_act3, 0.0, jnp.abs(gr3))
+            <= lam * (1.0 + 1e-4) + 1e-7,
+            axis=1,
+        ) & ~kkt_not_opt(mask3, theta3, gact3, tol=1e-4)
         done2 = done | opt | ovf
 
         # frozen lanes keep previous state
         fz1 = lambda new, old: jnp.where(done[:, None], old, new)
         return (
-            fz1(idx3, idx), fz1(mask3, mask), fz1(theta3, theta),
+            fz1(idx2, idx), fz1(mask3, mask), fz1(theta3, theta),
             fz1(gact3, gact), done2, ovf, it + 1,
         )
 
@@ -189,6 +252,22 @@ def _feature_sign_impl(
     idx, mask, theta, gact, done, overflow, it = st
     gfull = dense(idx, mask, gact)
     return st, FeatureSignResult(gfull.T, it, done, overflow)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_active", "max_iter", "max_inner")
+)
+def _feature_sign_impl(
+    Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner
+):
+    """One jitted SEGMENT of up to max_iter outer iterations from ``state``.
+    Segmenting keeps each device program short — a single unbounded
+    while_loop can exceed the TPU worker's kernel watchdog on dense
+    problems (see ``feature_sign``)."""
+    return _fs_loop(
+        Dt, Xt, A0, lam, state,
+        max_active=max_active, max_iter=max_iter, max_inner=max_inner,
+    )
 
 
 def _fs_init(A0, lam, A):
@@ -224,26 +303,25 @@ def feature_sign(
     that did not reach their KKT conditions are re-solved with FISTA and
     the better objective wins, so every lane converges for every lam.
     """
-    import numpy as np
-
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
-    G = jnp.matmul(D.T, D, precision=_HI)
+    Dt, Xt = D.T, X.T
     A0 = jnp.matmul(X.T, D, precision=_HI)
-    xnormsq = jnp.sum(X * X, axis=0)
     # run in segments of <= 16 outer iterations per device program: one
     # monolithic while_loop can run minutes of device time on dense
-    # problems and trip the TPU worker's kernel watchdog
+    # problems and trip the TPU worker's kernel watchdog.  Segments are
+    # dispatched back-to-back WITHOUT host syncs — once every lane is done
+    # a segment's while_loop exits after one cond evaluation, so surplus
+    # segments cost ~nothing, while a per-segment `all(done)` fetch costs a
+    # host round-trip over the device tunnel (round-1 bottleneck).
     seg = min(16, max_iter)
     state = _fs_init(A0, float(lam), max_active)
     res = None
     for _ in range((max_iter + seg - 1) // seg):
         state, res = _feature_sign_impl(
-            G, A0, xnormsq, float(lam), state,
+            Dt, Xt, A0, float(lam), state,
             max_active=max_active, max_iter=seg, max_inner=max_inner,
         )
-        if bool(np.asarray(jnp.all(res.done))):
-            break
     if polish and bool(jnp.any(~res.done | res.overflow)):
         Gf = fista(D, X, lam, n_iter=500)
 
@@ -262,6 +340,33 @@ def feature_sign(
 
 
 lasso = feature_sign
+
+
+def feature_sign_scan(
+    D: jax.Array, X: jax.Array, lam: float,
+    *, max_active: int = 64, max_iter: int = 60, max_inner: int = 20,
+) -> jax.Array:
+    """Pure (traceable) feature-sign: one bounded while_loop, no host
+    round-trips — safe to call inside ``lax.scan`` bodies (the online-DL
+    epoch scan codes every minibatch on-device with this).  Unconverged
+    lanes after ``max_iter`` are finished with a short FISTA polish, also
+    on-device.  Returns Gamma (K, N)."""
+    Dt, Xt = D.T, X.T
+    A0 = jnp.matmul(X.T, D, precision=_HI)
+    state = _fs_init(A0, lam, max_active)
+    _, res = _fs_loop(
+        Dt, Xt, A0, lam, state,
+        max_active=max_active, max_iter=max_iter, max_inner=max_inner,
+    )
+    bad = ~res.done | res.overflow
+    Gf = _fista_body(D, X, A0.T, lam, res.Gamma, n_iter=100)
+
+    def obj(Gm):
+        R = X - jnp.matmul(D, Gm, precision=_HI)
+        return jnp.sum(R * R, axis=0) + lam * jnp.sum(jnp.abs(Gm), axis=0)
+
+    take_f = bad & (obj(Gf) < obj(res.Gamma))
+    return jnp.where(take_f[None, :], Gf, res.Gamma)
 
 
 @functools.partial(
@@ -306,8 +411,8 @@ def _lars_impl(G, A0, lam, state, *, max_active, max_steps):
             jnp.arange(N)[:, None], idx
         ].max(mask)
         GA = jnp.take(G, idx.reshape(-1), axis=0).reshape(N, A, K)
-        u = 2.0 * (A0 - jnp.einsum("na,nak->nk", cA, GA))
-        v = 2.0 * jnp.einsum("na,nak->nk", wA, GA)
+        u = 2.0 * (A0 - jnp.einsum("na,nak->nk", cA, GA, precision=_HI))
+        v = 2.0 * jnp.einsum("na,nak->nk", wA, GA, precision=_HI)
 
         # join events: u + lt*v = +-lt  =>  lt = u / (+-1 - v)
         ltp = u / jnp.maximum(1.0 - v, 1e-12)
@@ -417,13 +522,13 @@ def lars(
     ``polish`` (default), lanes whose final KKT residual violates lam get
     re-solved with FISTA and the better objective wins.
     """
-    import numpy as np
-
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
     G = jnp.matmul(D.T, D, precision=_HI)
     A0 = jnp.matmul(X.T, D, precision=_HI)
-    # segmented launches (<= 32 homotopy steps each) — see feature_sign
+    # segmented launches (<= 32 homotopy steps each) dispatched without
+    # per-segment host syncs — a finished segment's while_loop exits after
+    # one cond check (see feature_sign)
     seg = min(32, max_steps)
     state = _lars_init(A0, float(lam), max_active)
     Gamma = done = None
@@ -432,8 +537,6 @@ def lars(
             G, A0, float(lam), state,
             max_active=max_active, max_steps=seg,
         )
-        if bool(np.asarray(jnp.all(done))):
-            break
     if polish:
         gr = 2.0 * (jnp.matmul(G, Gamma, precision=_HI) - A0.T)
         act = jnp.abs(Gamma) > 1e-8
@@ -460,23 +563,23 @@ def lars(
 lasso_lars = lars  # reference-style alias (sklearn LassoLars wrapper name)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
-def fista(
-    D: jax.Array, X: jax.Array, lam: float, n_iter: int = 200
-) -> jax.Array:
-    """FISTA for the same objective ||x - Dg||^2 + lam ||g||_1.
-
-    A cheap, fully-batched alternative coder (Beck & Teboulle 2009); useful
-    as the coding step of online dictionary learning when feature-sign's
-    exact active-set solve isn't needed.  Returns Gamma (K, N).
-    """
-    D = jnp.asarray(D, jnp.float32)
-    X = jnp.asarray(X, jnp.float32)
+def _fista_body(D, X, A0, lam, g0, n_iter: int):
+    """Traceable FISTA core: warm-starts from g0, Gershgorin step bound
+    (no eigendecomposition — cheap enough to run inside scan bodies).
+    A0 = D^T X (K, N)."""
     G = jnp.matmul(D.T, D, precision=_HI)
-    A0 = jnp.matmul(D.T, X, precision=_HI)
-    # Lipschitz constant of grad ||x-Dg||^2 = 2 G: L = 2 lmax(G)
-    L = 2.0 * jnp.linalg.eigvalsh(G)[-1] + 1e-6
-    K, N = D.shape[1], X.shape[1]
+    # lmax(G) via a short power iteration (PSD: converges fast, no
+    # eigendecomposition — cheap enough to run inside scan bodies)
+    v = jnp.ones((G.shape[0],), G.dtype) / jnp.sqrt(G.shape[0])
+
+    def pw(v, _):
+        w = jnp.matmul(G, v, precision=_HI)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-12), None
+
+    v, _ = lax.scan(pw, v, None, length=16)
+    lmax = jnp.dot(v, jnp.matmul(G, v, precision=_HI))
+    # power iteration underestimates lmax; 1.1 margin keeps L an upper bound
+    L = 2.2 * lmax + 1e-6
 
     def shrink(v, t):
         return jnp.sign(v) * jnp.maximum(jnp.abs(v) - t, 0.0)
@@ -489,6 +592,22 @@ def fista(
         ynew = gnew + ((t - 1.0) / tnew) * (gnew - g)
         return (gnew, ynew, tnew), None
 
-    g0 = jnp.zeros((K, N), D.dtype)
     (g, _, _), _ = lax.scan(step, (g0, g0, jnp.ones(())), None, length=n_iter)
     return g
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def fista(
+    D: jax.Array, X: jax.Array, lam: float, n_iter: int = 200
+) -> jax.Array:
+    """FISTA for the same objective ||x - Dg||^2 + lam ||g||_1.
+
+    A cheap, fully-batched alternative coder (Beck & Teboulle 2009); useful
+    as the coding step of online dictionary learning when feature-sign's
+    exact active-set solve isn't needed.  Returns Gamma (K, N).
+    """
+    D = jnp.asarray(D, jnp.float32)
+    X = jnp.asarray(X, jnp.float32)
+    A0 = jnp.matmul(D.T, X, precision=_HI)
+    g0 = jnp.zeros((D.shape[1], X.shape[1]), D.dtype)
+    return _fista_body(D, X, A0, lam, g0, n_iter)

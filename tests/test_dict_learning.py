@@ -122,6 +122,51 @@ def test_online_learner_objective_trend(rng):
     assert (nrm <= 1.0 + 1e-5).all()
 
 
+def test_online_chunked_fit_matches_partial_fit(rng):
+    # fit() scans minibatches on-device; semantics must match the
+    # minibatch-at-a-time partial_fit path on the same data order
+    D, X, _ = make_problem(rng, p=16, K=24, N=256, T=3)
+    Xf = np.asarray(X, np.float32)
+    cfg = OnlineDLConfig(K=24, lam=0.15, batch_size=64, chunk_batches=2,
+                         seed=0)
+    a = OnlineDictionaryLearner(cfg).fit(Xf, seed=3)
+    b = OnlineDictionaryLearner(cfg)
+    perm = np.random.default_rng(3).permutation(256)
+    for s in range(0, 256, 64):
+        b.partial_fit(Xf[:, perm[s : s + 64]])
+    np.testing.assert_allclose(
+        np.asarray(a.D_), np.asarray(b.D_), atol=2e-3
+    )
+
+
+def test_online_fit_sharded_matches_single(rng):
+    import jax
+    from lyssandra_tpu.parallel import make_mesh
+
+    D, X, _ = make_problem(rng, p=16, K=24, N=256, T=3)
+    Xf = np.asarray(X, np.float32)
+    cfg = OnlineDLConfig(K=24, lam=0.15, batch_size=64, chunk_batches=2,
+                         seed=0)
+    a = OnlineDictionaryLearner(cfg).fit(Xf, seed=0)
+    mesh = make_mesh(data=jax.device_count())
+    b = OnlineDictionaryLearner(cfg, mesh=mesh).fit(Xf, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(a.D_), np.asarray(b.D_), atol=2e-3
+    )
+
+
+def test_online_fit_holdout_objective_decreases(rng):
+    D, X, _ = make_problem(rng, p=16, K=24, N=512, T=3)
+    Xf = np.asarray(X, np.float32)
+    cfg = OnlineDLConfig(K=24, lam=0.15, batch_size=64, chunk_batches=2,
+                         seed=0)
+    learner = OnlineDictionaryLearner(cfg).fit(
+        Xf[:, :448], n_epochs=2, holdout=Xf[:, 448:]
+    )
+    trace = [h["holdout_objective"] for h in learner.history_]
+    assert trace[-1] < trace[0]
+
+
 def test_ksvd_checkpoint_resume(rng, tmp_path):
     from lyssandra_tpu.utils import Workspace
 
