@@ -53,13 +53,15 @@ class FeatureExtractor:
     """Encode images into pooled sparse-code features.
 
     encoder: any SparseEncoder (default Batch-OMP T=10).
-    preprocess: 'dc' removes patch means; 'dc+norm' also contrast-normalizes.
+    preprocess: 'dc' removes patch means; 'dc+norm' also contrast-
+    normalizes; 'dc+norm+whiten' additionally applies a fitted ``whitener``
+    (ops.whitening.Whitener) — the full north-star preprocessing stack.
     """
 
     def __init__(
         self, D, *, patch: int = 8, stride: int = 4,
         encoder: SparseEncoder | None = None,
-        levels=(1, 2, 4), preprocess: str = "dc",
+        levels=(1, 2, 4), preprocess: str = "dc", whitener=None,
     ):
         self.D = jnp.asarray(D, jnp.float32)
         self.patch = patch
@@ -69,17 +71,46 @@ class FeatureExtractor:
         )
         self.levels = levels
         self.preprocess = preprocess
+        self.whitener = whitener
+        if preprocess.endswith("+whiten") and whitener is None:
+            raise ValueError("preprocess includes 'whiten': pass whitener=")
+
+    def _preprocess(self, X):
+        X, _ = remove_dc(X)
+        if "norm" in self.preprocess:
+            X, _ = contrast_normalize(X)
+        if self.preprocess.endswith("+whiten"):
+            X = self.whitener.transform(X)
+        return X
 
     def transform_image(self, img) -> jax.Array:
         img = jnp.asarray(img, jnp.float32)
-        X = extract_patches(img, self.patch, self.stride)
-        X, _ = remove_dc(X)
-        if self.preprocess == "dc+norm":
-            X, _ = contrast_normalize(X)
+        X = self._preprocess(extract_patches(img, self.patch, self.stride))
         codes = self.encoder.encode(X, self.D)
         grid = n_patches(img.shape[0], img.shape[1], self.patch, self.stride)
         return spatial_pyramid_pool(codes, grid, self.levels)
 
     def transform(self, imgs) -> jax.Array:
-        """imgs: iterable of (H, W) arrays -> (n_images, F) features."""
-        return jnp.stack([self.transform_image(im) for im in imgs])
+        """imgs: (B, H, W) array or iterable of same-shape (H, W) arrays
+        -> (B, F) features.
+
+        Batched TPU-native path: ONE solver launch codes every patch of
+        every image (B * Np lanes — launches scale with the dataset, not
+        with B), then pooling is a reshaped max-reduction per image."""
+        imgs = jnp.asarray(imgs, jnp.float32)
+        if imgs.ndim == 2:
+            imgs = imgs[None]
+        B, H, W = imgs.shape
+        p, s = self.patch, self.stride
+        Xb = jax.vmap(lambda im: extract_patches(im, p, s))(imgs)
+        Np = Xb.shape[-1]
+        X = self._preprocess(
+            jnp.moveaxis(Xb, 0, 1).reshape(p * p, B * Np)
+        )
+        codes = self.encoder.encode(X, self.D)      # (K, B*Np)
+        K = codes.shape[0]
+        per_img = jnp.moveaxis(codes.reshape(K, B, Np), 1, 0)
+        grid = n_patches(H, W, p, s)
+        return jax.vmap(
+            lambda c: spatial_pyramid_pool(c, grid, self.levels)
+        )(per_img)

@@ -34,8 +34,11 @@ from lyssandra_tpu.ops import patches as _xla
 _RB = 8  # patch-rows per grid program
 
 
-def _kernel(img_ref, x_ref, mean_ref, scale_ref, *, p, Wpp, do_dc, do_norm,
-            eps):
+def _kernel(img_ref, *refs, p, Wpp, do_dc, do_norm, do_whiten, eps):
+    if do_whiten:
+        w_ref, o_ref, x_ref, mean_ref, scale_ref = refs
+    else:
+        x_ref, mean_ref, scale_ref = refs
     i = pl.program_id(0)
     W = img_ref.shape[1]
     for r in range(_RB):
@@ -59,7 +62,14 @@ def _kernel(img_ref, x_ref, mean_ref, scale_ref, *, p, Wpp, do_dc, do_norm,
         scale = jnp.maximum(scale, eps)
         if do_norm:
             X = X / scale
-        if do_dc or do_norm:
+        if do_whiten:
+            # whitening epilogue on the MXU while the block is in VMEM:
+            # Whitener.transform semantics W(x - m) = Wx - (Wm)
+            X = jnp.dot(
+                w_ref[...], X, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) - o_ref[...]
+        if do_dc or do_norm or do_whiten:
             x_ref[:, col] = X
         mean_ref[r, :] = mean[0]
         scale_ref[r, :] = scale[0]
@@ -74,11 +84,17 @@ def _round_up(x, m):
 )
 def fused_patch_pipeline_p1(
     img: jax.Array, p: int, *, do_dc: bool = True, do_norm: bool = False,
+    whiten: tuple[jax.Array, jax.Array] | None = None,
     eps: float = 1e-8, interpret: bool = False,
 ):
     """Stride-1 fused pipeline.  Returns (X (p^2, Np), means (Np,),
     scales (Np,)): means are the removed DC components, scales the divided
-    l2 norms (each still returned when its stage is disabled)."""
+    l2 norms (each still returned when its stage is disabled).
+
+    whiten: optional (Wm (p^2, p^2), offset (p^2,)) applied as the kernel's
+    MXU epilogue X <- Wm X - offset[:, None] (= Whitener.transform when
+    offset = Wm @ whitener mean; see Whitener.fused_params) — the full
+    north-star fusion: extract + DC + norm + whiten in one VMEM pass."""
     H, W = img.shape
     Hp, Wp = H - p + 1, W - p + 1
     Hpp = _round_up(Hp, _RB)          # padded patch-row count
@@ -87,12 +103,23 @@ def fused_patch_pipeline_p1(
     img_p = jnp.zeros((Hpp + p - 1, Wpp + p - 1), jnp.float32)
     img_p = img_p.at[:H, :W].set(img.astype(jnp.float32))
 
+    do_whiten = whiten is not None
+    inputs = [img_p]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if do_whiten:
+        Wm, off = whiten
+        inputs += [jnp.asarray(Wm, jnp.float32),
+                   jnp.asarray(off, jnp.float32).reshape(p * p, 1)]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+
     X, M, S = pl.pallas_call(
         functools.partial(
-            _kernel, p=p, Wpp=Wpp, do_dc=do_dc, do_norm=do_norm, eps=eps
+            _kernel, p=p, Wpp=Wpp, do_dc=do_dc, do_norm=do_norm,
+            do_whiten=do_whiten, eps=eps,
         ),
         grid=(Hpp // _RB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((p * p, _RB * Wpp), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -107,25 +134,27 @@ def fused_patch_pipeline_p1(
             jax.ShapeDtypeStruct((Hpp, Wpp), jnp.float32),
         ),
         interpret=interpret,
-    )(img_p)
+    )(*inputs)
     X = X.reshape(p * p, Hpp, Wpp)[:, :Hp, :Wp].reshape(p * p, Hp * Wp)
     return X, M[:Hp, :Wp].reshape(-1), S[:Hp, :Wp].reshape(-1)
 
 
 def fused_patch_pipeline(
     img: jax.Array, p: int, stride: int = 1, *,
-    do_dc: bool = True, do_norm: bool = False, eps: float = 1e-8,
+    do_dc: bool = True, do_norm: bool = False,
+    whiten: tuple[jax.Array, jax.Array] | None = None, eps: float = 1e-8,
 ):
-    """extract + (DC removal) + (contrast normalization), fused on TPU.
+    """extract + (DC removal) + (contrast normalization) + (whitening),
+    fused on TPU.
 
     Matches the composition of oracle.extract_patches / remove_dc /
-    contrast_normalize.  Non-unit strides (and non-TPU backends) use the
-    XLA ops — same results, two more HBM round-trips.
+    contrast_normalize / Whitener.transform.  Non-unit strides (and non-TPU
+    backends) use the XLA ops — same results, more HBM round-trips.
     """
     on_tpu = jax.default_backend() == "tpu"
     if stride == 1 and on_tpu:
         return fused_patch_pipeline_p1(
-            img, p, do_dc=do_dc, do_norm=do_norm, eps=eps
+            img, p, do_dc=do_dc, do_norm=do_norm, whiten=whiten, eps=eps
         )
     X = _xla.extract_patches(jnp.asarray(img, jnp.float32), p, stride)
     means = X.mean(axis=0)
@@ -134,4 +163,10 @@ def fused_patch_pipeline(
     scales = jnp.maximum(jnp.linalg.norm(X, axis=0), eps)
     if do_norm:
         X = X / scales[None, :]
+    if whiten is not None:
+        Wm, off = whiten
+        X = jnp.matmul(
+            jnp.asarray(Wm, jnp.float32), X,
+            precision=jax.lax.Precision.HIGHEST,
+        ) - jnp.asarray(off, jnp.float32)[:, None]
     return X, means, scales

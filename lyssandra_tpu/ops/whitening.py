@@ -51,5 +51,14 @@ class Whitener:
         Xw = jnp.asarray(Xw, jnp.float32)
         return jnp.matmul(self.Winv_, Xw, precision=_HI) + self.mean_
 
+    def fused_params(self) -> tuple[jax.Array, jax.Array]:
+        """(W, W @ mean) for the fused patch-pipeline epilogue
+        (ops.pallas_patches.fused_patch_pipeline ``whiten=``): the kernel
+        computes W x - (W m) = transform(x) on the MXU in the same VMEM
+        pass as extraction/DC/normalization (BASELINE north star)."""
+        return self.W_, jnp.matmul(
+            self.W_, self.mean_, precision=_HI
+        ).reshape(-1)
+
 
 ZCAWhitener = Whitener  # reference-style alias

