@@ -57,9 +57,15 @@ def config1(quick=False, run_oracle=False):
     D = dct_dictionary(8, 256)
     Xj = jnp.asarray(X, jnp.float32)
 
-    _sync(omp(D, Xj, 5))  # compile
+    _sync(omp(D, Xj, 5))  # compile + first-fetch warm-up
+    # steady-state throughput: the whole 10k-patch problem is ONE device
+    # program; launches are dispatched back-to-back (async) and synced once,
+    # so the per-launch tunnel latency is amortized as in production use
+    reps = 2 if quick else 10
     t0 = time.perf_counter()
-    Gamma = omp(D, Xj, 5)
+    Gamma = None
+    for _ in range(reps):
+        Gamma = omp(D, Xj, 5)
     _sync(Gamma)
     dt = time.perf_counter() - t0
     G = np.asarray(Gamma, np.float64)
@@ -68,11 +74,13 @@ def config1(quick=False, run_oracle=False):
         / np.linalg.norm(X)
     )
     out = {
-        "config": 1, "n_patches": n, "tpu_seconds": dt,
-        "tpu_patches_per_sec": n / dt, "rel_reconstruction_err": rel_err,
+        "config": 1, "n_patches": n, "launches": reps,
+        "tpu_seconds": dt,
+        "tpu_patches_per_sec": reps * n / dt,
+        "rel_reconstruction_err": rel_err,
     }
     if run_oracle:
-        no = min(n, 1000)
+        no = n                       # FULL-N oracle parity (VERDICT r1 #8)
         t0 = time.perf_counter()
         Go = oracle.omp(np.asarray(D, np.float64), X[:, :no], 5)
         oracle_dt = time.perf_counter() - t0
@@ -239,7 +247,8 @@ def config5(quick=False, run_oracle=False):
     Xtr, Xte = Xtr.T, Xte.T
 
     t0 = time.perf_counter()
-    lc = LCKSVD(LCKSVDConfig(K=200, T=8, n_iter=4 if quick else 10)).fit(
+    lc = LCKSVD(LCKSVDConfig(K=200 if quick else 500, T=8,
+                             n_iter=4 if quick else 10)).fit(
         Xtr, ytr
     )
     lc_dt = time.perf_counter() - t0

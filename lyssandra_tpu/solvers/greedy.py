@@ -192,6 +192,7 @@ def _batch_omp_impl(G, Dt, A0, xnormsq, eps, *, T, eps_mode, precision):
 def batch_omp(
     D: jax.Array, X: jax.Array, T: int, eps: float | None = None,
     *, precision=_HI, dense: bool = True, refresh: str = "auto",
+    corr_dtype: str = "f32",
 ):
     """Batch-OMP: progressive Cholesky over the precomputed Gram
     (oracle.batch_omp semantics; per-patch parity tested).
@@ -218,6 +219,7 @@ def batch_omp(
         res = _omp_impl(
             D, X, 0.0 if eps is None else float(eps),
             T=T, eps_mode=eps is not None, precision=precision,
+            corr_dtype=corr_dtype,
         )
         return res.dense(K) if dense else res
     G = jnp.matmul(D.T, D, precision=precision)
@@ -231,17 +233,52 @@ def batch_omp(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "eps_mode", "precision")
+    jax.jit,
+    static_argnames=("T", "eps_mode", "precision", "corr_dtype",
+                     "fused_select"),
 )
-def _omp_impl(D, X, eps, *, T, eps_mode, precision):
+def _omp_impl(D, X, eps, *, T, eps_mode, precision, corr_dtype="f32",
+              fused_select=False):
     """Explicit-residual OMP (oracle.omp): correlations from r = x - D_I gamma.
 
     Cheaper than Batch-OMP on MXU when 2p << K (the big per-step matmul is
     (N, p) x (p, K) instead of (N, K) x (K, K)); exact residuals in eps mode.
+
+    corr_dtype='bf16': the correlation matmul (selection ONLY — the
+    Cholesky, solves and residuals stay fp32) runs with explicitly
+    bf16-cast operands and fp32 accumulation — one MXU pass instead of
+    HIGHEST's multi-pass fp32 emulation.  Selection is an argmax over
+    correlations, so ~3 decimal digits decide only near-ties; parity is
+    pinned by tests/test_greedy.py (support agreement on separated
+    problems).
     """
     p, K = D.shape
     N = X.shape[1]
     Xt = X.T                                   # (N, p)
+    D_sel = D.astype(jnp.bfloat16) if corr_dtype == "bf16" else D
+
+    # Fused Pallas selection (ops/pallas_select.py) computes the (N, K)
+    # correlation block-wise in VMEM and reduces the argmax inline.
+    # MEASURED NEGATIVE (r2): standalone it beats the XLA matmul+argmax
+    # pair (0.78 vs 0.89 ms at the north-star shape, exact same picks),
+    # but wired INSIDE this scan the full solver drops 1.57M -> 0.93M
+    # patches/s — the custom call acts as an optimization barrier across
+    # the step's fusion graph.  Off by default; opt in via fused_select.
+    from lyssandra_tpu.ops.pallas_select import (
+        select_abs_argmax, selection_supported,
+    )
+
+    use_fused = fused_select and selection_supported(N, p, K, D.dtype)
+
+    def select(r):
+        if use_fused:
+            return select_abs_argmax(r, D, bf16=corr_dtype == "bf16")
+        if corr_dtype == "bf16":
+            corr = jnp.matmul(r.astype(jnp.bfloat16), D_sel,
+                              preferred_element_type=jnp.float32)
+        else:
+            corr = jnp.matmul(r, D_sel, precision=precision)
+        return _argmax_abs(corr)
     xnormsq = jnp.sum(Xt * Xt, axis=1)
     carry = dict(
         r=Xt,
@@ -265,8 +302,7 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision):
         t, c = st
         stop = c["done"]
 
-        corr = jnp.matmul(c["r"], D, precision=precision)  # (N, K)
-        k = _argmax_abs(corr)
+        k = select(c["r"])
 
         dk = jnp.take(D.T, k, axis=0)                      # (N, p)
         g = jnp.einsum("ntp,np->nt", c["Dsel"], dk, precision=precision)
@@ -321,12 +357,13 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision):
 
 def omp(
     D: jax.Array, X: jax.Array, T: int, eps: float | None = None,
-    *, precision=_HI, dense: bool = True,
+    *, precision=_HI, dense: bool = True, corr_dtype: str = "f32",
 ):
     """Orthogonal Matching Pursuit with explicit residual (oracle.omp)."""
     res = _omp_impl(
         D, X, 0.0 if eps is None else float(eps),
         T=T, eps_mode=eps is not None, precision=precision,
+        corr_dtype=corr_dtype,
     )
     return res.dense(D.shape[1]) if dense else res
 

@@ -47,6 +47,24 @@ def test_omp_equals_batch_omp(rng):
     np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+def test_batch_omp_bf16_selection_parity(rng):
+    # corr_dtype='bf16' runs the SELECTION matmul in one bf16 MXU pass;
+    # solves stay fp32, so when supports agree, codes agree to LS
+    # conditioning.  Pin: identical supports on >=99% of separated lanes,
+    # matching coefficients there (bf16 has ~3 decimal digits; synthetic
+    # T-sparse problems have well-separated correlation winners).
+    D, X, _ = make_problem(rng, p=64, K=256, N=512, T=8)
+    Df, Xf = D.astype(np.float32), X.astype(np.float32)
+    hi = np.asarray(batch_omp(Df, Xf, 8, refresh="residual"))
+    lo = np.asarray(batch_omp(Df, Xf, 8, refresh="residual",
+                              corr_dtype="bf16"))
+    same_support = ((np.abs(hi) > 1e-12) == (np.abs(lo) > 1e-12)).all(axis=0)
+    assert same_support.mean() >= 0.99, same_support.mean()
+    np.testing.assert_allclose(
+        lo[:, same_support], hi[:, same_support], atol=5e-4
+    )
+
+
 def test_batch_omp_eps_mode(rng):
     D, X, _ = make_problem(rng, p=16, K=48, N=64, T=5)
     eps = 0.6 * float(np.median(np.linalg.norm(X, axis=0)))

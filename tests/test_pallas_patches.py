@@ -46,6 +46,28 @@ def test_fused_pipeline_matches_oracle(rng, shape, do_dc, do_norm):
     np.testing.assert_allclose(np.asarray(S), refs, atol=1e-4)
 
 
+def test_fused_select_matches_xla_pair(rng):
+    # the OMP selection kernel (corr+argmax fused in VMEM) must pick the
+    # same atom as the XLA matmul + max/min-iota pair, ties included
+    import jax.numpy as jnp
+    from jax import lax
+
+    from lyssandra_tpu.ops.pallas_select import select_abs_argmax
+    from lyssandra_tpu.solvers.greedy import _argmax_abs
+
+    r = rng.standard_normal((1024, 16)).astype(np.float32)
+    D = rng.standard_normal((16, 256)).astype(np.float32)
+    # inject exact ties: lane 0's residual correlates identically with
+    # atoms 3 and 7
+    D[:, 7] = D[:, 3]
+    want = np.asarray(_argmax_abs(
+        jnp.matmul(jnp.asarray(r), jnp.asarray(D),
+                   precision=lax.Precision.HIGHEST)))
+    got = np.asarray(select_abs_argmax(
+        jnp.asarray(r), jnp.asarray(D), block=512, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_pipeline_whitening_epilogue(rng):
     # north-star fusion: extract + DC + norm + ZCA whiten in one kernel;
     # parity vs the oracle pipeline composed with Whitener.transform
