@@ -98,14 +98,21 @@ def config2(quick=False, run_oracle=False):
     n, K, iters = (5000, 128, 5) if quick else (50000, 512, 20)
     X = patch_dataset(list(_images(quick).values()), p=8,
                       n_patches=n).astype(np.float32)
+    # warm-up: one fit iteration compiles every executable in the loop
+    # (206 s cold on the remote compile helper vs 0.45 s warm — measured;
+    # timing it would report compiler speed, not the framework)
+    KSVDLearner(KSVDConfig(K=K, T=8, n_iter=1)).fit(X)
     t0 = time.perf_counter()
     learner = KSVDLearner(KSVDConfig(K=K, T=8, n_iter=iters)).fit(X)
     dt = time.perf_counter() - t0
     return {
         "config": 2, "n_patches": n, "K": K, "iters": iters,
-        "tpu_seconds": dt,
+        "tpu_seconds_warm": dt,
+        "patches_per_iter_sec": n * iters / dt,
         "final_rmse": learner.history_[-1]["rmse"],
         "objective_trace": [h["objective"] for h in learner.history_],
+        "seconds_per_iter": [round(h["seconds"], 3)
+                             for h in learner.history_],
     }
 
 

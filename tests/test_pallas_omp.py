@@ -1,0 +1,76 @@
+"""Full-fused Pallas OMP solver vs the XLA scan solver (interpreter mode
+on CPU; compiled Mosaic parity + throughput are exercised on the real
+chip by the verify flows and bench.py)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from lyssandra_tpu.ops.pallas_omp import omp_fused
+from lyssandra_tpu.solvers.greedy import _omp_impl
+from tests.conftest import make_problem
+
+
+
+
+def test_fused_omp_matches_scan_T_mode(rng):
+    D, X, _ = make_problem(rng, p=16, K=128, N=1024, T=4)
+    Df, Xf = D.astype(np.float32), X.astype(np.float32)
+    from jax import lax
+
+    ref = _omp_impl(jnp.asarray(Df), jnp.asarray(Xf), 0.0, T=4,
+                    eps_mode=False, precision=lax.Precision.HIGHEST)
+    idx, gam, err, nsel = omp_fused(
+        jnp.asarray(Df), jnp.asarray(Xf), T=4, block=512, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.idx))
+    np.testing.assert_allclose(
+        np.asarray(gam), np.asarray(ref.gamma), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(err), np.asarray(ref.err), atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(nsel), np.asarray(ref.nsel))
+
+
+def test_fused_omp_matches_scan_eps_mode(rng):
+    from jax import lax
+
+    D, X, _ = make_problem(rng, p=16, K=128, N=512, T=3)
+    # mixed difficulty: half the lanes scaled tiny so they converge early
+    X[:, ::2] *= 0.05
+    Df, Xf = D.astype(np.float32), X.astype(np.float32)
+    eps = 0.3
+    ref = _omp_impl(jnp.asarray(Df), jnp.asarray(Xf), eps, T=6,
+                    eps_mode=True, precision=lax.Precision.HIGHEST)
+    idx, gam, err, nsel = omp_fused(
+        jnp.asarray(Df), jnp.asarray(Xf), T=6, eps=eps, eps_mode=True,
+        block=512, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(nsel), np.asarray(ref.nsel))
+    np.testing.assert_allclose(
+        np.asarray(gam), np.asarray(ref.gamma), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(err), np.asarray(ref.err), atol=2e-4
+    )
+
+
+def test_fused_omp_duplicate_atoms_freeze(rng):
+    # duplicate-atom dictionary: progressive factor breaks down (nu ~ 0)
+    # and the lane must freeze with finite outputs, like the scan solver
+    from jax import lax
+
+    D, X, _ = make_problem(rng, p=16, K=128, N=512, T=4)
+    D[:, 64:] = D[:, :64]
+    Df, Xf = D.astype(np.float32), X.astype(np.float32)
+    ref = _omp_impl(jnp.asarray(Df), jnp.asarray(Xf), 0.0, T=8,
+                    eps_mode=False, precision=lax.Precision.HIGHEST)
+    idx, gam, err, nsel = omp_fused(
+        jnp.asarray(Df), jnp.asarray(Xf), T=8, block=512, interpret=True
+    )
+    assert np.isfinite(np.asarray(gam)).all()
+    np.testing.assert_array_equal(np.asarray(nsel), np.asarray(ref.nsel))
+    np.testing.assert_allclose(
+        np.asarray(gam), np.asarray(ref.gamma), atol=5e-5
+    )
