@@ -255,7 +255,7 @@ def config5(quick=False, run_oracle=False):
 
     t0 = time.perf_counter()
     lc = LCKSVD(LCKSVDConfig(K=200 if quick else 500, T=8,
-                             n_iter=4 if quick else 10)).fit(
+                             n_iter=4 if quick else 20)).fit(
         Xtr, ytr
     )
     lc_dt = time.perf_counter() - t0

@@ -218,7 +218,7 @@ def batch_omp(
     if refresh == "auto":
         refresh = "residual" if 2 * p < K else "gram"
     if refresh == "residual":
-        if _fused_supported(D, X, precision, corr_dtype):
+        if _fused_supported(D, X, precision, corr_dtype, eps):
             res = _omp_fused_result(D, X, T, eps)
         else:
             res = _omp_impl(
@@ -360,7 +360,7 @@ def _omp_impl(D, X, eps, *, T, eps_mode, precision, corr_dtype="f32",
     )
 
 
-def _fused_supported(D, X, precision, corr_dtype) -> bool:
+def _fused_supported(D, X, precision, corr_dtype, eps) -> bool:
     p, K = D.shape
     return (
         jax.default_backend() == "tpu"
@@ -368,6 +368,11 @@ def _fused_supported(D, X, precision, corr_dtype) -> bool:
         and X.dtype == jnp.float32
         and precision is _HI
         and corr_dtype == "f32"
+        # eps mode measured FASTER on the XLA scan (denoise, T_max=16,
+        # 255k lanes: 0.29 s vs 0.58 s fused): the while_loop exits as
+        # soon as every lane converges, while the fused kernel always
+        # unrolls all T steps.  T-mode always runs T steps either way.
+        and eps is None
         and p % 8 == 0
         and K % 128 == 0
         and p <= 512
@@ -402,7 +407,7 @@ def omp(
     """Orthogonal Matching Pursuit with explicit residual (oracle.omp)."""
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
-    if fused and _fused_supported(D, X, precision, corr_dtype):
+    if fused and _fused_supported(D, X, precision, corr_dtype, eps):
         res = _omp_fused_result(D, X, T, eps)
     else:
         res = _omp_impl(

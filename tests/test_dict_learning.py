@@ -74,6 +74,24 @@ def test_ksvd_learner_objective_decreases(rng):
     assert learner.history_[-1]["rmse"] < 0.5
 
 
+def test_ksvd_objective_monotone_at_scale(rng):
+    # VERDICT r1 weak #2: the small-scale monotonicity test passed while
+    # the config-2 scale oscillated.  Pin monotonicity (1% slack for the
+    # replacement-policy perturbation) at a replacement-active scale:
+    # real image patches, K=256, many dead/coherent atoms in early iters.
+    from lyssandra_tpu.utils import patch_dataset, standard_test_image
+
+    imgs = [standard_test_image("barbara", 256),
+            standard_test_image("lena", 256)]
+    X = patch_dataset(imgs, p=8, n_patches=10000).astype(np.float32)
+    learner = KSVDLearner(KSVDConfig(K=256, T=8, n_iter=6)).fit(X)
+    objs = [h["objective"] for h in learner.history_]
+    assert all(
+        objs[i + 1] <= objs[i] * 1.01 for i in range(len(objs) - 1)
+    ), objs
+    assert learner.history_[0]["atoms_replaced"] > 0  # policy exercised
+
+
 def test_ksvd_dead_atom_replacement(rng):
     D, X, _ = make_problem(rng, p=16, K=24, N=300, T=3)
     cfg = KSVDConfig(K=24, T=3, n_iter=3, replace_dead=True, seed=0)
