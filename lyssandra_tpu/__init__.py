@@ -48,7 +48,10 @@ from lyssandra_tpu.solvers import (
     feature_sign,
     fista,
     group_omp,
+    lars,
     lasso,
+    lasso_lars,
+    llc,
     nn_omp,
     omp,
     sparse_encoder,

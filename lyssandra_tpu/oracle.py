@@ -617,6 +617,31 @@ def src_predict(
     return out
 
 
+def llc(D: np.ndarray, X: np.ndarray, knn: int = 5,
+        lam: float = 1e-4) -> np.ndarray:
+    """Locality-constrained Linear Coding (Wang et al. 2010, Alg. 2).
+
+    Per signal: k nearest atoms, shift-invariant regularized LS with the
+    sum-to-one constraint solved analytically.  fp64 per-signal reference
+    for solvers.llc.
+    """
+    p, K = D.shape
+    N = X.shape[1]
+    G = np.zeros((K, N))
+    for n in range(N):
+        x = X[:, n]
+        d2 = ((D - x[:, None]) ** 2).sum(axis=0)
+        idx = np.argsort(d2)[:knn]
+        B = D[:, idx].T                       # (k, p)
+        z = B - x[None, :]
+        C = z @ z.T
+        C = C + (lam * np.trace(C) + 1e-12) * np.eye(knn)
+        c = np.linalg.solve(C, np.ones(knn))
+        c = c / c.sum()
+        G[idx, n] = c
+    return G
+
+
 # ---------------------------------------------------------------------------
 # Applications (L6)
 # ---------------------------------------------------------------------------

@@ -6,5 +6,8 @@ from lyssandra_tpu.solvers.greedy import (
     threshold_code,
     GreedyResult,
 )
-from lyssandra_tpu.solvers.lasso import feature_sign, fista, lasso
+from lyssandra_tpu.solvers.lasso import (
+    feature_sign, fista, lars, lasso, lasso_lars,
+)
+from lyssandra_tpu.solvers.llc import llc
 from lyssandra_tpu.solvers.encoder import SparseEncoder, sparse_encoder

@@ -23,8 +23,9 @@ from lyssandra_tpu.solvers import greedy
 class SparseEncoder:
     """Encode signal columns into sparse codes over a fixed dictionary.
 
-    algorithm: 'omp' | 'bomp' (batch_omp) | 'group_omp' | 'thresholding'
-               | 'lasso' (feature-sign search)
+    algorithm: 'omp' | 'bomp' (batch_omp) | 'group_omp' | 'nn_omp'
+               | 'thresholding' | 'lasso' (feature-sign search)
+               | 'lars' | 'llc' (locality-constrained linear coding)
     params: algorithm kwargs (T, eps, lam, groups, kind, ...).
     block:  signals per device step (memory chunking; padded to full blocks
             so every step hits the same compiled executable).
@@ -72,6 +73,14 @@ class SparseEncoder:
             )
         if alg == "nn_omp":
             return greedy.nn_omp
+        if alg in ("lars", "lasso_lars"):
+            from lyssandra_tpu.solvers import lasso as _lasso
+
+            return lambda D, X, **kw: _lasso.lars(D, X, **kw)
+        if alg == "llc":
+            from lyssandra_tpu.solvers.llc import llc as _llc
+
+            return lambda D, X, **kw: _llc(D, X, **kw)
         raise ValueError(f"unknown algorithm: {self.algorithm}")
 
     def _solver_kwargs(self):
