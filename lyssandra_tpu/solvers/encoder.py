@@ -98,6 +98,35 @@ class SparseEncoder:
 
         return jax.device_put(X, NamedSharding(self.mesh, P(None, "data")))
 
+    # algorithms whose solve is fully traceable (no host-side segment
+    # loops), so the whole call can run under shard_map — one program per
+    # device, which keeps the fused Pallas path local to each chip's
+    # shard.  lasso/lars drive jitted segments from the host and instead
+    # rely on GSPMD propagation from the sharded inputs.
+    _TRACEABLE = ("bomp", "batch_omp", "omp", "group_omp", "nn_omp",
+                  "thresholding", "soft_thresholding", "hard_thresholding",
+                  "llc")
+
+    def _sharded_call(self, solver, kw, D, Xb):
+        """Run solver over the data mesh via shard_map (D replicated,
+        patch axis sharded).  Falls back to sharding-propagation when the
+        algorithm's host-side control flow cannot be traced."""
+        from jax.sharding import PartitionSpec as P
+
+        if self.algorithm not in self._TRACEABLE:
+            return solver(D, self._shard(Xb), **kw)
+        ndev = self.mesh.shape["data"]
+        if Xb.shape[1] % ndev != 0:
+            return solver(D, self._shard(Xb), **kw)
+        fn = jax.shard_map(
+            lambda d, x: solver(d, x, **kw),
+            mesh=self.mesh,
+            in_specs=(P(), P(None, "data")),
+            out_specs=P(None, "data"),
+            check_vma=False,
+        )
+        return fn(D, self._shard(Xb))
+
     # -- public API --------------------------------------------------------
 
     def encode(self, X, D) -> jax.Array:
@@ -115,8 +144,13 @@ class SparseEncoder:
         solver = self._solver()
         kw = self._solver_kwargs()
 
+        call = (
+            (lambda Xb: self._sharded_call(solver, kw, D, Xb))
+            if self.mesh is not None
+            else (lambda Xb: solver(D, Xb, **kw))
+        )
         if N <= self.block:
-            return solver(D, self._shard(X), **kw)
+            return call(X)
 
         # pad to full blocks so every step reuses one executable
         nblocks = math.ceil(N / self.block)
@@ -124,10 +158,10 @@ class SparseEncoder:
         Xp = jnp.pad(X, ((0, 0), (0, pad)))
         outs = []
         for b in range(nblocks):
-            Xb = self._shard(
-                jax.lax.dynamic_slice_in_dim(Xp, b * self.block, self.block, 1)
+            Xb = jax.lax.dynamic_slice_in_dim(
+                Xp, b * self.block, self.block, 1
             )
-            outs.append(solver(D, Xb, **kw))
+            outs.append(call(Xb))
         Gamma = jnp.concatenate(outs, axis=1)
         return Gamma[:, :N]
 
