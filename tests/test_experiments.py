@@ -1,0 +1,58 @@
+"""YAML-driven experiment runner (SURVEY.md §5 config + workspace flow)."""
+
+import json
+import os
+
+import numpy as np
+
+from lyssandra_tpu.experiments import run_experiment
+
+
+def test_ksvd_experiment_from_yaml(tmp_path):
+    spec = {
+        "task": "ksvd",
+        "workspace": str(tmp_path / "ws"),
+        "data": {"images": ["barbara"], "size": 64, "n_patches": 512,
+                 "patch": 8},
+        "params": {"K": 32, "T": 3, "n_iter": 2},
+    }
+    path = tmp_path / "exp.json"
+    path.write_text(json.dumps(spec))
+    result = run_experiment(str(path))
+    assert result["task"] == "ksvd"
+    objs = result["objective_trace"]
+    assert objs[-1] <= objs[0]
+    # artifacts landed in the workspace
+    assert os.path.exists(tmp_path / "ws" / "D.npz")
+    assert os.path.exists(tmp_path / "ws" / "result.json")
+    with np.load(tmp_path / "ws" / "D.npz") as z:
+        assert z["D"].shape == (64, 32)
+
+
+def test_encode_experiment(tmp_path):
+    result = run_experiment({
+        "task": "encode",
+        "data": {"images": ["lena"], "size": 64, "n_patches": 256,
+                 "patch": 8, "K": 64},
+        "params": {"algorithm": "bomp", "T": 4},
+    })
+    assert result["avg_nnz"] <= 4.0 + 1e-6
+    assert 0.0 < result["rel_err"] < 1.0
+
+
+def test_denoise_experiment(tmp_path):
+    result = run_experiment({
+        "task": "denoise",
+        "data": {"images": ["barbara"], "size": 64, "K": 64, "seed": 7},
+        "params": {"sigma": 25.0, "T_max": 8, "block": 4096},
+    })
+    assert result["psnr"] > result["psnr_noisy"]
+
+
+def test_src_experiment():
+    result = run_experiment({
+        "task": "src",
+        "data": {"dataset": "digits", "test_size": 0.5},
+        "params": {"T": 5},
+    })
+    assert result["accuracy"] > 0.9
