@@ -48,12 +48,40 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = lax.Precision.HIGHEST
 
 
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16)
+    return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
 def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
-            *, p, K, T, eps, eps_mode, hi_corr):
+            *, p, K, T, eps, eps_mode, corr_mode):
     Nb = x_ref.shape[1]
     x = x_ref[...]                                    # (p, Nb)
     DT = dt_ref[...]                                  # (K, p)
     D = d_ref[...]                                    # (p, K)
+    if corr_mode == "split3":
+        DTh, DTl = _bf16_split(DT)
+
+    def corr_matmul(r):
+        """Selection-only correlation D^T r.  'split3' is a manual 3-pass
+        bf16 decomposition (hi*hi + hi*lo + lo*hi, f32 accumulation,
+        ~2^-22-faithful): +17% throughput at block=512, but on chip it
+        flips the pick on ~1e-4 of lanes — and on 2 of the 3 flipped
+        lanes in a 32k A/B the 6-pass choice matched the fp64 oracle
+        while split3 did not.  Fidelity is the product bar, so 'hi'
+        (6-pass HIGHEST, oracle-exact on every lane tested) stays the
+        default; 'split3' and 'fast' (1-pass bf16) are opt-in."""
+        if corr_mode == "hi":
+            return jnp.dot(DT, r, preferred_element_type=jnp.float32,
+                           precision=_HI)
+        if corr_mode == "split3":
+            rh, rl = _bf16_split(r)
+            return (
+                jnp.dot(DTh, rh, preferred_element_type=jnp.float32)
+                + jnp.dot(DTh, rl, preferred_element_type=jnp.float32)
+                + jnp.dot(DTl, rh, preferred_element_type=jnp.float32)
+            )
+        return jnp.dot(DT, r, preferred_element_type=jnp.float32)
 
     zero = jnp.zeros((1, Nb), jnp.float32)
     # per-lane solver state as unrolled (1, Nb) rows
@@ -76,10 +104,7 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
         stop = done
 
         # --- selection: argmax |D^T r| with min-index tie-break
-        corr = jnp.dot(
-            DT, r, preferred_element_type=jnp.float32,
-            precision=_HI if hi_corr else None,
-        )
+        corr = corr_matmul(r)
         s = jnp.abs(corr)
         mx = jnp.max(s, axis=0, keepdims=True)        # (1, Nb)
         k = jnp.min(jnp.where(s == mx, iota_k, K), axis=0, keepdims=True)
@@ -154,12 +179,12 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "eps", "eps_mode", "block", "hi_corr",
+    static_argnames=("T", "eps", "eps_mode", "block", "corr_mode",
                      "interpret"),
 )
 def omp_fused(
     D: jax.Array, X: jax.Array, *, T: int, eps: float = 0.0,
-    eps_mode: bool = False, block: int = 512, hi_corr: bool = True,
+    eps_mode: bool = False, block: int = 512, corr_mode: str = "hi",
     interpret: bool = False,
 ):
     """Fused OMP: returns (idx (N, T) i32, gamma (N, T), err (N,),
@@ -173,7 +198,7 @@ def omp_fused(
     gam, idx, aux = pl.pallas_call(
         functools.partial(
             _kernel, p=p, K=K, T=T, eps=float(eps), eps_mode=eps_mode,
-            hi_corr=hi_corr,
+            corr_mode=corr_mode,
         ),
         grid=(N // block,),
         in_specs=[
