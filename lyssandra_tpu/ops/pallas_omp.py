@@ -84,23 +84,30 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
         return jnp.dot(DT, r, preferred_element_type=jnp.float32)
 
     zero = jnp.zeros((1, Nb), jnp.float32)
-    # per-lane solver state as unrolled (1, Nb) rows
-    L = [[zero for _ in range(T)] for _ in range(T)]  # inverse factor
-    a0 = [zero for _ in range(T)]
-    dsel = [jnp.zeros((p, Nb), jnp.float32) for _ in range(T)]
-    kidx = [jnp.zeros((1, Nb), jnp.int32) for _ in range(T)]
 
-    r = x
     xnormsq = jnp.sum(x * x, axis=0, keepdims=True)   # (1, Nb)
-    err = xnormsq
-    done = jnp.zeros((1, Nb), jnp.bool_)
+    done0 = jnp.zeros((1, Nb), jnp.bool_)
     if eps_mode:
-        done = err <= eps * eps
-    nsel = zero
-
+        done0 = xnormsq <= eps * eps
     iota_k = lax.broadcasted_iota(jnp.int32, (K, Nb), 0)
 
-    for t in range(T):
+    # per-lane solver state as unrolled (1, Nb) rows, carried as one
+    # pytree so eps-mode can skip whole steps via lax.cond
+    state = (
+        x,                                            # r
+        xnormsq,                                      # err
+        done0,
+        zero,                                         # nsel
+        tuple(tuple(zero for _ in range(T)) for _ in range(T)),  # Linv
+        tuple(zero for _ in range(T)),                # a0
+        tuple(jnp.zeros((p, Nb), jnp.float32) for _ in range(T)),  # dsel
+        tuple(jnp.zeros((1, Nb), jnp.int32) for _ in range(T)),   # kidx
+    )
+
+    def step(st, t):
+        r, err, done, nsel, Lt, a0t, dselt, kidxt = st
+        L = [list(row) for row in Lt]
+        a0, dsel, kidx = list(a0t), list(dselt), list(kidxt)
         stop = done
 
         # --- selection: argmax |D^T r| with min-index tie-break
@@ -110,12 +117,8 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
         k = jnp.min(jnp.where(s == mx, iota_k, K), axis=0, keepdims=True)
 
         # --- gather-free atom fetch: one-hot column selection on the MXU.
-        # MEASURED NEGATIVE: a Dekker 3-way bf16 split of D (3 passes vs
-        # HIGHEST's 6) is ~9% faster end-to-end but NOT bit-exact (split
-        # truncation + f32 re-sum rounding, ~2^-24 relative) — support
-        # parity vs the scan solver dropped 100% -> 96.6% on random data,
-        # while the fp32 scan itself matches the fp64 oracle 100%.
-        # Exactness wins: HIGHEST reproduces the f32 column bit-exactly.
+        # HIGHEST reproduces the f32 column bit-exactly (a Dekker 3-split
+        # measured ~9% faster but broke bit-exactness — see git history).
         onehot = (iota_k == k).astype(jnp.float32)    # (K, Nb)
         dk = jnp.dot(D, onehot, preferred_element_type=jnp.float32,
                      precision=_HI)                   # (p, Nb)
@@ -131,7 +134,6 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
         bad = nu <= 1e-6
         li = lax.rsqrt(jnp.maximum(nu, 1e-12))        # (1, Nb)
         frozen = stop | bad
-        live = ~frozen
 
         newrow = [
             -li * sum((w[i] * L[i][j] for i in range(t)), zero)
@@ -162,6 +164,22 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
         done = frozen
         if eps_mode:
             done = done | (err <= eps * eps)
+        return (r, err, done, nsel,
+                tuple(tuple(row) for row in L), tuple(a0), tuple(dsel),
+                tuple(kidx))
+
+    # NOTE: whole-block early exit via lax.cond(all(done)) does NOT lower
+    # — Mosaic "failed to legalize operation 'scf.if'" for value-carrying
+    # conds (pl.when is statement-form only).  eps-mode therefore always
+    # unrolls all T steps here; the XLA scan solver keeps its global
+    # early exit and stays the default route for eps-mode workloads
+    # (solvers.greedy._fused_supported).
+    for t in range(T):
+        state = step(state, t)
+
+    _, err, _, nsel, Lt, a0t, _, kidxt = state
+    L = [list(row) for row in Lt]
+    a0, kidx = list(a0t), list(kidxt)
 
     # final solve from the retained state: frozen lanes' later rows are
     # zero, so their gamma rows beyond nsel vanish and earlier rows
