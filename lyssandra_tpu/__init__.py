@@ -62,7 +62,7 @@ from lyssandra_tpu.dict_learning import (
     OnlineDictionaryLearner,
 )
 from lyssandra_tpu.dict_learning.ksvd import ksvd
-from lyssandra_tpu.classify import LCKSVD, LinearClassifier, SRCClassifier
+from lyssandra_tpu.classify import LCKSVD, LinearClassifier, LinearSVM, SRCClassifier
 from lyssandra_tpu.apps import Denoiser, FeatureExtractor, denoise
 from lyssandra_tpu.utils import Workspace
 

@@ -1,3 +1,3 @@
 from lyssandra_tpu.classify.lc_ksvd import LCKSVD
 from lyssandra_tpu.classify.src import SRCClassifier
-from lyssandra_tpu.classify.linear import LinearClassifier, ridge, one_hot
+from lyssandra_tpu.classify.linear import LinearClassifier, LinearSVM, ridge, one_hot

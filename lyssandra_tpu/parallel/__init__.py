@@ -5,3 +5,4 @@ from lyssandra_tpu.parallel.mesh import (
     ksvd_train_step,
     sharded_ksvd_step,
 )
+from lyssandra_tpu.parallel.model_sharded import omp_model_sharded

@@ -219,13 +219,12 @@ def batch_omp(
         refresh = "residual" if 2 * p < K else "gram"
     if refresh == "residual":
         if _fused_supported(D, X, precision, corr_dtype, eps):
-            res = _omp_fused_result(D, X, T, eps)
-        else:
-            res = _omp_impl(
-                D, X, 0.0 if eps is None else float(eps),
-                T=T, eps_mode=eps is not None, precision=precision,
-                corr_dtype=corr_dtype,
-            )
+            return _omp_fused_result(D, X, T, eps, dense=dense)
+        res = _omp_impl(
+            D, X, 0.0 if eps is None else float(eps),
+            T=T, eps_mode=eps is not None, precision=precision,
+            corr_dtype=corr_dtype,
+        )
         return res.dense(K) if dense else res
     G = jnp.matmul(D.T, D, precision=precision)
     A0 = jnp.matmul(X.T, D, precision=precision)      # (N, K)
@@ -379,10 +378,14 @@ def _fused_supported(D, X, precision, corr_dtype, eps) -> bool:
     )
 
 
-def _omp_fused_result(D, X, T, eps) -> GreedyResult:
-    """Run the full-fused Pallas solver (ops/pallas_omp.py) with lane
-    padding to the kernel block size.  2.8x the XLA scan at the
-    north-star shape with EXACT support parity (measured r2)."""
+@functools.partial(
+    jax.jit, static_argnames=("T", "eps", "eps_mode", "dense")
+)
+def _omp_fused_call(D, X, *, T, eps, eps_mode, dense):
+    """Jitted wrapper around the full-fused Pallas solver: lane padding,
+    the solve, un-padding, and (optionally) the dense scatter are ONE
+    device program — the eager glue was costing 10x at small problem
+    sizes (config 1: 8 dispatches/launch over the ~ms-latency tunnel)."""
     from lyssandra_tpu.ops.pallas_omp import omp_fused
 
     N = X.shape[1]
@@ -393,10 +396,19 @@ def _omp_fused_result(D, X, T, eps) -> GreedyResult:
             [X, jnp.zeros((X.shape[0], Np - N), X.dtype)], axis=1
         )
     idx, gamma, err, nsel = omp_fused(
-        D, X, T=T, eps=0.0 if eps is None else float(eps),
-        eps_mode=eps is not None, block=block,
+        D, X, T=T, eps=eps, eps_mode=eps_mode, block=block,
     )
-    return GreedyResult(idx[:N], gamma[:N], err[:N], nsel[:N])
+    res = GreedyResult(idx[:N], gamma[:N], err[:N], nsel[:N])
+    return res.dense(D.shape[1]) if dense else res
+
+
+def _omp_fused_result(D, X, T, eps, dense=False):
+    """Full-fused Pallas solve (ops/pallas_omp.py).  2.8x the XLA scan at
+    the north-star shape with EXACT support parity (measured r2)."""
+    return _omp_fused_call(
+        D, X, T=T, eps=0.0 if eps is None else float(eps),
+        eps_mode=eps is not None, dense=dense,
+    )
 
 
 def omp(
@@ -408,13 +420,12 @@ def omp(
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
     if fused and _fused_supported(D, X, precision, corr_dtype, eps):
-        res = _omp_fused_result(D, X, T, eps)
-    else:
-        res = _omp_impl(
-            D, X, 0.0 if eps is None else float(eps),
-            T=T, eps_mode=eps is not None, precision=precision,
-            corr_dtype=corr_dtype,
-        )
+        return _omp_fused_result(D, X, T, eps, dense=dense)
+    res = _omp_impl(
+        D, X, 0.0 if eps is None else float(eps),
+        T=T, eps_mode=eps is not None, precision=precision,
+        corr_dtype=corr_dtype,
+    )
     return res.dense(D.shape[1]) if dense else res
 
 

@@ -80,3 +80,45 @@ def test_lc_ksvd_end_to_end(rng):
     )
     assert clf.score(Xtr, ytr) > 0.9
     assert clf.score(Xte, yte) > 0.8
+
+
+def test_linear_svm_separable(rng):
+    # two separable clouds; the SVM must classify perfectly and agree
+    # with sklearn's LinearSVC (test-only cross-check, SURVEY.md §4.2)
+    from sklearn.svm import LinearSVC
+
+    from lyssandra_tpu.classify import LinearSVM
+
+    n = 200
+    Z = np.concatenate([
+        rng.standard_normal((8, n)) + 3.0,
+        rng.standard_normal((8, n)) - 3.0,
+        rng.standard_normal((8, n)) * 1.0 + np.array(
+            [3, -3, 3, -3, 3, -3, 3, -3])[:, None],
+    ], axis=1).astype(np.float32)
+    y = np.repeat([0, 1, 2], n)
+    svm = LinearSVM(C=1.0, n_iter=400).fit(Z, y)
+    assert svm.score(Z, y) >= 0.99
+    sk = LinearSVC(C=1.0).fit(Z.T, y)
+    assert abs(svm.score(Z, y) - sk.score(Z.T, y)) <= 0.02
+
+
+def test_linear_svm_on_digit_codes(rng):
+    # end-to-end: sparse codes -> SVM, must beat ridge-on-codes baseline
+    # class boundary quality on a real (bundled) dataset
+    from sklearn.datasets import load_digits
+
+    from lyssandra_tpu.classify import LinearSVM
+    from lyssandra_tpu.ops.dictionaries import init_dictionary
+    from lyssandra_tpu.solvers import batch_omp
+
+    d = load_digits()
+    X = d.data.T.astype(np.float32)
+    X /= np.maximum(np.linalg.norm(X, axis=0, keepdims=True), 1e-9)
+    y = d.target
+    D = init_dictionary(jnp.asarray(X), 256, "data", 0)
+    Z = np.asarray(batch_omp(D, X, 8))
+    ntr = 1200
+    svm = LinearSVM(C=10.0, n_iter=400).fit(Z[:, :ntr], y[:ntr])
+    acc = svm.score(Z[:, ntr:], y[ntr:])
+    assert acc >= 0.9, acc

@@ -88,3 +88,33 @@ def test_public_ksvd_learner_sharded_matches_single(rng):
     np.testing.assert_allclose(
         np.asarray(b.Gamma_), np.asarray(a.Gamma_), atol=2e-3
     )
+
+
+def test_omp_model_sharded_matches_replicated(rng):
+    # huge-K path: dictionary atom-sharded over 'model', patches over
+    # 'data'; per-patch output must equal the replicated solver
+    from lyssandra_tpu.parallel.model_sharded import omp_model_sharded
+    from lyssandra_tpu.solvers import omp
+
+    D, X, _ = make_problem(rng, p=16, K=128, N=64, T=4, dtype=np.float32)
+    mesh = make_mesh(data=2, model=4)
+    G_sh = np.asarray(omp_model_sharded(D, X, 4, mesh=mesh))
+    G_ref = np.asarray(omp(jnp.asarray(D), jnp.asarray(X), 4))
+    np.testing.assert_allclose(G_sh, G_ref, atol=1e-5)
+
+
+def test_omp_model_sharded_eps_mode(rng):
+    from lyssandra_tpu.parallel.model_sharded import omp_model_sharded
+    from lyssandra_tpu.solvers import omp
+
+    D, X, _ = make_problem(rng, p=16, K=128, N=64, T=3, dtype=np.float32)
+    X[:, ::2] *= 0.05
+    mesh = make_mesh(data=2, model=4)
+    r_sh = omp_model_sharded(D, X, 6, eps=0.3, mesh=mesh, dense=False)
+    r_ref = omp(jnp.asarray(D), jnp.asarray(X), 6, eps=0.3, dense=False)
+    np.testing.assert_array_equal(
+        np.asarray(r_sh.nsel), np.asarray(r_ref.nsel)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_sh.gamma), np.asarray(r_ref.gamma), atol=1e-5
+    )
