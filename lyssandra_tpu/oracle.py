@@ -199,6 +199,43 @@ def omp(
     return Gamma
 
 
+def masked_omp(
+    D: np.ndarray, X: np.ndarray, M: np.ndarray, T: int,
+    eps: float | None = None,
+) -> np.ndarray:
+    """OMP over per-signal OBSERVED coordinates (the inpainting coder:
+    Elad's sparse-representation inpainting — code M o x over the masked
+    atoms M o d_k, selection normalized by the masked atom norms).
+
+    M: (p, N) in {0, 1}.  Returns dense Gamma (K, N).
+    """
+    K, N = D.shape[1], X.shape[1]
+    Gamma = np.zeros((K, N))
+    for n in range(N):
+        m = M[:, n].astype(bool)
+        Dm = D[m]                         # (p_obs, K)
+        nrm = np.linalg.norm(Dm, axis=0)
+        ok = nrm > 1e-6
+        x = X[m, n]
+        r = x.copy()
+        I: list[int] = []
+        g = np.zeros(0)
+        for _ in range(T):
+            if eps is not None and np.linalg.norm(r) <= eps:
+                break
+            score = np.where(ok, np.abs(Dm.T @ r) / np.maximum(nrm, 1e-6),
+                             -np.inf)
+            k = int(np.argmax(score))
+            if k in I:
+                break
+            I.append(k)
+            g, *_ = np.linalg.lstsq(Dm[:, I], x, rcond=None)
+            r = x - Dm[:, I] @ g
+        if I:
+            Gamma[I, n] = g
+    return Gamma
+
+
 def batch_omp(
     D: np.ndarray, X: np.ndarray, T: int, eps: float | None = None
 ) -> np.ndarray:

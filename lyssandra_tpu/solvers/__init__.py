@@ -2,6 +2,7 @@ from lyssandra_tpu.solvers.greedy import (
     omp,
     batch_omp,
     group_omp,
+    masked_omp,
     nn_omp,
     threshold_code,
     GreedyResult,

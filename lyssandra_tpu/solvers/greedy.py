@@ -430,6 +430,122 @@ def omp(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("T", "eps_mode", "precision")
+)
+def _masked_omp_impl(D, X, M, eps, *, T, eps_mode, precision):
+    """OMP over per-lane OBSERVED coordinates (oracle.masked_omp): codes
+    M o x over masked atoms M o d_k, selection |d^T r| / ||M o d_k||.
+
+    Same batched structure as _omp_impl — the mask rides along for free:
+    the residual is masked by construction (x' and every selected atom
+    are), so the correlation matmul needs no masking; only the gathered
+    atom and the precomputed per-lane atom norms do.
+    """
+    p, K = D.shape
+    N = X.shape[1]
+    Mt = M.T.astype(D.dtype)                   # (N, p)
+    Xt = X.T * Mt                              # observed coords only
+    # per-lane masked atom norms: one MXU matmul, constant over steps
+    nrm = jnp.sqrt(jnp.maximum(
+        jnp.matmul(Mt, D * D, precision=precision), 0.0
+    ))                                         # (N, K)
+    invalid = nrm <= 1e-6
+    xnormsq = jnp.sum(Xt * Xt, axis=1)
+    carry = dict(
+        r=Xt,
+        Dsel=jnp.zeros((N, T, p), D.dtype),
+        Linv=jnp.zeros((N, T, T), D.dtype),
+        idx=jnp.zeros((N, T), jnp.int32),
+        a0sel=jnp.zeros((N, T), D.dtype),
+        done=(xnormsq <= eps * eps) if eps_mode
+        else jnp.zeros((N,), bool),
+        err=xnormsq,
+        nsel=jnp.zeros((N,), jnp.int32),
+    )
+
+    def step(st):
+        t, c = st
+        stop = c["done"]
+        corr = jnp.matmul(c["r"], D, precision=precision)  # (N, K)
+        score = jnp.where(
+            invalid, -1.0, jnp.abs(corr) / jnp.maximum(nrm, 1e-6)
+        )
+        mx = jnp.max(score, axis=1, keepdims=True)
+        iota = lax.broadcasted_iota(jnp.int32, (N, K), 1)
+        k = jnp.min(jnp.where(score == mx, iota, K), axis=1).astype(
+            jnp.int32
+        )
+        dk = jnp.take(D.T, k, axis=0) * Mt                 # masked atom
+        g = jnp.einsum("ntp,np->nt", c["Dsel"], dk, precision=precision)
+        Linv, nu = _append_cholesky_inv(c["Linv"], g / jnp.maximum(
+            jnp.take_along_axis(nrm, k[:, None], 1), 1e-6), t)
+        # NOTE: the factor is built over UNIT-normalized masked atoms
+        # (d~ = dk / ||dk||) for conditioning; coefficients are rescaled
+        # back below
+        nk = jnp.take_along_axis(nrm, k[:, None], 1)[:, 0]
+        bad = (nu <= 1e-6) | (nk <= 1e-6)
+        dkn = dk / jnp.maximum(nk, 1e-6)[:, None]
+        Dsel = lax.dynamic_update_slice_in_dim(
+            c["Dsel"], dkn[:, None, :], t, axis=1
+        )
+        idx = lax.dynamic_update_slice_in_dim(
+            c["idx"], k[:, None], t, axis=1
+        )
+        a0k = jnp.sum(dkn * Xt, axis=1, keepdims=True)
+        a0sel = lax.dynamic_update_slice_in_dim(c["a0sel"], a0k, t, axis=1)
+        gamma = _solve_gamma(Linv, a0sel)
+        r = Xt - jnp.einsum("nt,ntp->np", gamma, Dsel, precision=precision)
+        err = jnp.sum(r * r, axis=1)
+
+        frozen = stop | bad
+        fz = lambda new, old: jnp.where(
+            frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+        )
+        done = frozen
+        err_out = fz(err, c["err"])
+        if eps_mode:
+            done = done | (err_out <= eps * eps)
+        out = dict(
+            r=fz(r, c["r"]), Dsel=fz(Dsel, c["Dsel"]),
+            Linv=fz(Linv, c["Linv"]), idx=fz(idx, c["idx"]),
+            a0sel=fz(a0sel, c["a0sel"]), done=done, err=err_out,
+            nsel=jnp.where(frozen, c["nsel"], c["nsel"] + 1),
+        )
+        return (t + 1, out)
+
+    def cond(st):
+        t, c = st
+        return (t < T) & ~jnp.all(c["done"])
+
+    _, c = lax.while_loop(cond, step, (jnp.zeros((), jnp.int32), carry))
+    gamma = _solve_gamma(c["Linv"], c["a0sel"])
+    # rescale: codes were solved over unit-normalized masked atoms
+    sel_nrm = jnp.take_along_axis(nrm, c["idx"], axis=1)
+    gamma = gamma / jnp.maximum(sel_nrm, 1e-6)
+    valid = jnp.arange(T)[None, :] < c["nsel"][:, None]
+    return GreedyResult(
+        idx=c["idx"], gamma=jnp.where(valid, gamma, 0.0),
+        err=c["err"], nsel=c["nsel"],
+    )
+
+
+def masked_omp(
+    D: jax.Array, X: jax.Array, M: jax.Array, T: int,
+    eps: float | None = None, *, precision=_HI, dense: bool = True,
+):
+    """Masked (inpainting) OMP: per-lane observed-coordinate pursuit
+    (oracle.masked_omp).  M: (p, N) 0/1 observation mask."""
+    D = jnp.asarray(D, jnp.float32)
+    X = jnp.asarray(X, jnp.float32)
+    M = jnp.asarray(M, jnp.float32)
+    res = _masked_omp_impl(
+        D, X, M, 0.0 if eps is None else float(eps),
+        T=T, eps_mode=eps is not None, precision=precision,
+    )
+    return res.dense(D.shape[1]) if dense else res
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("n_groups", "gs", "T", "eps_mode", "precision"),
 )
