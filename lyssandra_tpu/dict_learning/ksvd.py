@@ -119,13 +119,14 @@ def ksvd_step(
     )
     # metrics reflect the post-update model, BEFORE atom replacement —
     # replaced atoms get fresh (empty) code rows only at the next coding
-    # step, so including them here would spike the objective artificially
+    # step, so including them here would spike the objective artificially.
+    # All metrics are stacked on device and fetched in ONE host round
+    # trip: each fetch costs ~31 ms over the tunnel (CLAUDE.md), and four
+    # separate float() calls were a third of the warm iteration time.
     R = X - D @ Gamma
-    metrics = dict(
-        objective=float((R * R).sum()),
-        rmse=float(jnp.sqrt((R * R).mean())),
-        avg_nnz=float((jnp.abs(Gamma) > 0).sum(axis=0).mean()),
-    )
+    obj = (R * R).sum()
+    stats = [obj, jnp.sqrt((R * R).mean()),
+             (jnp.abs(Gamma) > 0).sum(axis=0).mean().astype(jnp.float32)]
     if cfg.replace_dead:
         D, bad = replace_unused_atoms(
             X, D, Gamma, min_use=cfg.min_use,
@@ -134,10 +135,17 @@ def ksvd_step(
         # zero the stale code rows of replaced atoms so D @ Gamma stays
         # meaningful between iterations
         Gamma = jnp.where(bad[:, None], 0.0, Gamma)
-        metrics["atoms_replaced"] = int(bad.sum())
+        stats.append(bad.sum().astype(jnp.float32))
     else:
-        metrics["atoms_replaced"] = 0
+        stats.append(jnp.zeros((), jnp.float32))
     D = normalize_atoms(D)
+    import numpy as np
+
+    vals = np.asarray(jnp.stack(stats))
+    metrics = dict(
+        objective=float(vals[0]), rmse=float(vals[1]),
+        avg_nnz=float(vals[2]), atoms_replaced=int(vals[3]),
+    )
     return D, Gamma, metrics
 
 
