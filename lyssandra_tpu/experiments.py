@@ -7,7 +7,7 @@ saved into a workspace directory).
 
 Experiment spec (YAML or JSON):
 
-    task: ksvd | online_dl | denoise | lc_ksvd | src | features | encode
+    task: ksvd | online_dl | denoise | inpaint | lc_ksvd | src | encode
     workspace: runs/exp1          # optional; artifacts + metrics land here
     data:                         # one of:
       images: [barbara, lena]     #   standard test images (procedural
@@ -140,6 +140,28 @@ def run_experiment(spec: dict[str, Any] | str, *, mesh=None) -> dict:
         }
         if ws:
             ws.save_array("denoised", img=np.asarray(den))
+    elif task == "inpaint":
+        from lyssandra_tpu import dct_dictionary, oracle
+        from lyssandra_tpu.apps import inpaint
+        from lyssandra_tpu.utils import standard_test_image
+
+        size = int(data.get("size", 256))
+        name = data.get("images", ["lena"])[0]
+        img = standard_test_image(name, size)
+        rng = np.random.default_rng(int(data.get("seed", 0)))
+        frac = float(params.pop("missing_frac", 0.3))
+        mask = (rng.uniform(size=img.shape) > frac).astype(np.float64)
+        D = dct_dictionary(int(params.pop("patch", 8)),
+                           int(data.get("K", 256)))
+        out = np.asarray(inpaint(img * mask, mask, D, **params), np.float64)
+        miss = mask == 0
+        result = {
+            "task": task, "image": name, "missing_frac": frac,
+            "psnr_corrupted": oracle.psnr((img * mask)[miss], img[miss]),
+            "psnr_inpainted": oracle.psnr(out[miss], img[miss]),
+        }
+        if ws:
+            ws.save_array("inpainted", img=out)
     elif task in ("lc_ksvd", "src"):
         X, y = _load_labeled(data)
         Xtr, Xte, ytr, yte = _split(

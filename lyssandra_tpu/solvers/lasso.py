@@ -359,14 +359,23 @@ def feature_sign_scan(
         max_active=max_active, max_iter=max_iter, max_inner=max_inner,
     )
     bad = ~res.done | res.overflow
-    Gf = _fista_body(D, X, A0.T, lam, res.Gamma, n_iter=100)
 
-    def obj(Gm):
-        R = X - jnp.matmul(D, Gm, precision=_HI)
-        return jnp.sum(R * R, axis=0) + lam * jnp.sum(jnp.abs(Gm), axis=0)
+    def polish(G):
+        Gf = _fista_body(D, X, A0.T, lam, G, n_iter=100)
 
-    take_f = bad & (obj(Gf) < obj(res.Gamma))
-    return jnp.where(take_f[None, :], Gf, res.Gamma)
+        def obj(Gm):
+            R = X - jnp.matmul(D, Gm, precision=_HI)
+            return jnp.sum(R * R, axis=0) + lam * jnp.sum(
+                jnp.abs(Gm), axis=0
+            )
+
+        take_f = bad & (obj(Gf) < obj(G))
+        return jnp.where(take_f[None, :], Gf, G)
+
+    # the 100-iteration polish only runs when some lane actually needs it
+    # (lax.cond executes one branch — later in training every minibatch
+    # converges inside the feature-sign loop and the polish is free)
+    return lax.cond(jnp.any(bad), polish, lambda G: G, res.Gamma)
 
 
 @functools.partial(

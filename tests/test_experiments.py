@@ -56,3 +56,12 @@ def test_src_experiment():
         "params": {"T": 5},
     })
     assert result["accuracy"] > 0.9
+
+
+def test_inpaint_experiment():
+    result = run_experiment({
+        "task": "inpaint",
+        "data": {"images": ["lena"], "size": 64, "K": 64, "seed": 1},
+        "params": {"missing_frac": 0.25, "T": 6},
+    })
+    assert result["psnr_inpainted"] > result["psnr_corrupted"] + 10.0
