@@ -37,14 +37,6 @@ class FeatureSignResult(NamedTuple):
     overflow: jax.Array   # (N,) lane wanted > max_active active atoms
 
 
-def _gather_gram(G, idx):
-    """G[idx_i, idx_j] per lane: (N, A, A) from (K, K) and (N, A)."""
-    rows = jnp.take(G, idx, axis=0)                 # (N, A, K)
-    return jnp.take_along_axis(
-        rows, idx[:, None, :].repeat(rows.shape[1], 1), axis=2
-    )
-
-
 def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
     """Up to ``max_iter`` outer feature-sign iterations from ``state``.
 
@@ -381,7 +373,7 @@ def feature_sign_scan(
 @functools.partial(
     jax.jit, static_argnames=("max_active", "max_steps")
 )
-def _lars_impl(G, A0, lam, state, *, max_active, max_steps):
+def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps):
     """Batched LARS-lasso homotopy for min ||x - Dg||^2 + lam |g|_1.
 
     Along the regularization path the active coefficients are linear in the
@@ -393,6 +385,14 @@ def _lars_impl(G, A0, lam, state, *, max_active, max_steps):
     ``max_steps`` segments, per-lane done masks (SURVEY.md 'LARS / lasso
     wrappers' — the reference delegates to sklearn; this is the native
     batched rebuild; sklearn stays a test oracle).
+
+    TPU lowering (r2, same playbook as feature-sign): the active-set Gram
+    comes from GATHERED ATOMS (Dact -> one MXU einsum), and the u/v
+    correlation lines use the residual form 2 D^T (x - D_A c) — the old
+    per-lane (N, A, K) Gram-row gathers materialized ~1 GB/step at the
+    config-4 shape and could not scale past a few thousand lanes.
+
+    Dt = D^T (K, p); Xt = X^T (N, p); A0 = X^T D (N, K).
     """
     N, K = A0.shape
     A = max_active
@@ -403,7 +403,8 @@ def _lars_impl(G, A0, lam, state, *, max_active, max_steps):
     def step(st):
         idx, mask, theta, gact, lt, done, it = st
         maskf = mask.astype(A0.dtype)
-        M = _gather_gram(G, idx)
+        Dact = jnp.take(Dt, idx, axis=0)                  # (N, A, p)
+        M = jnp.einsum("nap,nbp->nab", Dact, Dact, precision=_HI)
         M = M * maskf[:, :, None] * maskf[:, None, :]
         Mp = jnp.where(
             (maskf[:, :, None] * maskf[:, None, :]) > 0, M, eyeA[None]
@@ -415,13 +416,15 @@ def _lars_impl(G, A0, lam, state, *, max_active, max_steps):
         cA = sol[..., 0] * maskf            # g at lt = 0
         wA = sol[..., 1] * maskf            # dg/dlt (negated)
 
-        # inactive correlations, linear in lt: corr_j(lt) = u_j + lt*v_j
+        # inactive correlations, linear in lt: corr_j(lt) = u_j + lt*v_j,
+        # residual form: u = 2 d_j^T (x - D_A c), v = 2 d_j^T (D_A w)
         is_act = jnp.zeros((N, K), bool).at[
             jnp.arange(N)[:, None], idx
         ].max(mask)
-        GA = jnp.take(G, idx.reshape(-1), axis=0).reshape(N, A, K)
-        u = 2.0 * (A0 - jnp.einsum("na,nak->nk", cA, GA, precision=_HI))
-        v = 2.0 * jnp.einsum("na,nak->nk", wA, GA, precision=_HI)
+        resid = Xt - jnp.einsum("na,nap->np", cA, Dact, precision=_HI)
+        u = 2.0 * jnp.matmul(resid, Dt.T, precision=_HI)
+        zw = jnp.einsum("na,nap->np", wA, Dact, precision=_HI)
+        v = 2.0 * jnp.matmul(zw, Dt.T, precision=_HI)
 
         # join events: u + lt*v = +-lt  =>  lt = u / (+-1 - v)
         ltp = u / jnp.maximum(1.0 - v, 1e-12)
@@ -543,7 +546,7 @@ def lars(
     Gamma = done = None
     for _ in range((max_steps + seg - 1) // seg):
         state, (Gamma, done) = _lars_impl(
-            G, A0, float(lam), state,
+            D.T, X.T, A0, float(lam), state,
             max_active=max_active, max_steps=seg,
         )
     if polish:
