@@ -35,6 +35,39 @@ class Denoiser:
         self.cfg = cfg
         self.mesh = mesh
 
+    def _eps_codes(self, Xc, eps: float) -> jax.Array:
+        """Error-constrained codes with a two-phase fast path.
+
+        Measured (512^2, sigma=25): NO denoise patch uses more than 6
+        atoms, so one fused-kernel pass capped at T=8 covers everything at
+        the fused solver's rate; a single host fetch of the convergence
+        mask guards correctness — lanes that hit the cap unconverged
+        (none, empirically) trigger the exact XLA T_max path for the
+        whole batch.
+        """
+        cfg = self.cfg
+        from lyssandra_tpu.solvers.greedy import (
+            _fused_supported, _omp_fused_call, _HI,
+        )
+        import numpy as np
+
+        T1 = min(8, cfg.T_max)
+        if self.mesh is None and cfg.T_max > T1 and _fused_supported(
+            self.D, Xc, _HI, "f32", None
+        ):
+            res = _omp_fused_call(
+                self.D, Xc, T=T1, eps=float(eps), eps_mode=True,
+                dense=False,
+            )
+            bad = np.asarray((res.nsel == T1) & (res.err > eps * eps))
+            if not bad.any():
+                return res.dense(self.D.shape[1])
+        enc = SparseEncoder(
+            "bomp", {"T": cfg.T_max, "eps": eps},
+            block=cfg.block, mesh=self.mesh, check_atoms=False,
+        )
+        return enc.encode(Xc, self.D)
+
     def __call__(self, noisy, sigma: float | None = None) -> jax.Array:
         cfg = self.cfg
         sigma = float(cfg.sigma if sigma is None else sigma)
@@ -44,11 +77,7 @@ class Denoiser:
         # fused Pallas extract+DC on TPU; XLA ops elsewhere
         Xc, means, _ = fused_patch_pipeline(noisy, p, do_dc=True)
         eps = cfg.gain * p * sigma
-        enc = SparseEncoder(
-            "bomp", {"T": cfg.T_max, "eps": eps},
-            block=cfg.block, mesh=self.mesh, check_atoms=False,
-        )
-        Gamma = enc.encode(Xc, self.D)
+        Gamma = self._eps_codes(Xc, eps)
         Xhat = self.D @ Gamma + means[None, :]
         lam_w = cfg.lam / max(sigma, 1e-12)
         return weighted_reconstruct(Xhat, noisy, p, lam_w)
