@@ -38,20 +38,21 @@ class Denoiser:
     def _eps_codes(self, Xc, eps: float) -> jax.Array:
         """Error-constrained codes with a two-phase fast path.
 
-        Measured (512^2, sigma=25): NO denoise patch uses more than 6
-        atoms, so one fused-kernel pass capped at T=8 covers everything at
-        the fused solver's rate; a single host fetch of the convergence
-        mask guards correctness — lanes that hit the cap unconverged
-        (none, empirically) trigger the exact XLA T_max path for the
-        whole batch.
+        Measured (512^2, sigma=25): no denoise patch uses more than 8
+        atoms (barbara-class max 6, lena-class max 8), so one fused-kernel
+        pass capped at T=10 covers everything at the fused solver's rate;
+        a single host fetch of the convergence mask guards correctness —
+        a lane that hits the cap unconverged (none, empirically; the
+        2-atom margin keeps borderline eps lanes off the cap) triggers
+        the exact XLA T_max path for the whole batch.
         """
         cfg = self.cfg
         from lyssandra_tpu.solvers.greedy import (
-            _fused_supported, _omp_fused_call, _HI,
+            _fused_supported, _omp_fused_call, _omp_impl, _HI,
         )
         import numpy as np
 
-        T1 = min(8, cfg.T_max)
+        T1 = min(10, cfg.T_max)
         if self.mesh is None and cfg.T_max > T1 and _fused_supported(
             self.D, Xc, _HI, "f32", None
         ):
@@ -60,8 +61,24 @@ class Denoiser:
                 dense=False,
             )
             bad = np.asarray((res.nsel == T1) & (res.err > eps * eps))
-            if not bad.any():
+            nbad = int(bad.sum())
+            if nbad == 0:
                 return res.dense(self.D.shape[1])
+            if nbad <= 4096:
+                # re-solve just the stragglers at full T_max (greedy
+                # pursuit is deterministic, so a from-scratch re-solve
+                # equals the single-pass T_max result on those lanes)
+                cols = np.where(bad)[0]
+                padn = -(-nbad // 512) * 512
+                colp = np.zeros(padn, np.int32)
+                colp[:nbad] = cols
+                Xs = jnp.take(Xc, jnp.asarray(colp), axis=1)
+                rs = _omp_impl(self.D, Xs, float(eps), T=cfg.T_max,
+                               eps_mode=True, precision=_HI)
+                Gamma = res.dense(self.D.shape[1])
+                return Gamma.at[:, jnp.asarray(cols)].set(
+                    rs.dense(self.D.shape[1])[:, :nbad]
+                )
         enc = SparseEncoder(
             "bomp", {"T": cfg.T_max, "eps": eps},
             block=cfg.block, mesh=self.mesh, check_atoms=False,
