@@ -107,6 +107,37 @@ def denoise(noisy, D, sigma: float, *, cfg: DenoiseConfig | None = None,
     return Denoiser(D, cfg, mesh=mesh)(noisy, sigma)
 
 
+def denoise_adaptive(
+    noisy, sigma: float, *, cfg: DenoiseConfig | None = None,
+    K: int = 256, n_iter: int = 12, n_train: int = 30000, mesh=None,
+    return_dictionary: bool = False,
+):
+    """Full Elad-Aharon 2006 adaptive pipeline: train a K-SVD dictionary
+    on the NOISY image's own patches with the same error-constrained
+    coder, then denoise with it.  Beats the fixed-DCT pipeline by
+    ~1.1-1.4 dB on the standard test images (benchmarks config 3)."""
+    import numpy as np
+
+    from lyssandra_tpu.config import KSVDConfig
+    from lyssandra_tpu.dict_learning.ksvd import KSVDLearner
+    from lyssandra_tpu.utils.datasets import patch_dataset
+
+    cfg = cfg or DenoiseConfig(sigma=sigma)
+    eps = cfg.gain * cfg.patch * float(sigma)
+    train = patch_dataset(
+        [np.asarray(noisy, np.float64)], p=cfg.patch,
+        n_patches=n_train, seed=3,
+    ).astype(np.float32)
+    enc = SparseEncoder("bomp", {"T": cfg.T_max, "eps": eps},
+                        check_atoms=False, mesh=mesh)
+    learner = KSVDLearner(
+        KSVDConfig(K=K, T=cfg.T_max, n_iter=n_iter, init="dct"),
+        encoder=enc, mesh=mesh,
+    ).fit(train)
+    out = Denoiser(learner.D_, cfg, mesh=mesh)(noisy, sigma)
+    return (out, learner.D_) if return_dictionary else out
+
+
 def psnr(a, b, peak: float = 255.0) -> float:
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)

@@ -115,3 +115,22 @@ def test_feature_extractor_whitening_path(rng):
                            preprocess="dc+norm")
     F0 = np.asarray(fe0.transform(imgs))
     assert np.abs(F - F0).max() > 1e-3
+
+
+def test_denoise_adaptive_beats_dct(rng):
+    # the full Elad-Aharon pipeline: K-SVD trained on the noisy image's
+    # own patches must beat (or tie) the fixed-DCT dictionary
+    from lyssandra_tpu.apps import denoise_adaptive
+    from lyssandra_tpu import DenoiseConfig, oracle
+    from lyssandra_tpu.utils import synthetic_image
+
+    img = synthetic_image("texture", 96, seed=5)
+    noisy = (img + 25.0 * rng.standard_normal(img.shape)).astype(np.float32)
+    cfg = DenoiseConfig(sigma=25.0, T_max=8, block=8192)
+    den_dct = denoise(noisy, dct_dictionary(8, 64), 25.0, cfg=cfg)
+    den_ad = denoise_adaptive(noisy, 25.0, cfg=cfg, K=64, n_iter=4,
+                              n_train=2000)
+    p_dct = oracle.psnr(np.asarray(den_dct, np.float64), img)
+    p_ad = oracle.psnr(np.asarray(den_ad, np.float64), img)
+    assert p_ad > p_dct - 0.1, (p_ad, p_dct)
+    assert p_ad > oracle.psnr(np.asarray(noisy, np.float64), img)
