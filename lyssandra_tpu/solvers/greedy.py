@@ -732,7 +732,7 @@ def group_omp(
 @functools.partial(
     jax.jit, static_argnames=("T", "nnls_iters", "precision")
 )
-def _nn_omp_impl(G, A0, xnormsq, *, T, nnls_iters, precision):
+def _nn_omp_impl(D, X, *, T, nnls_iters, precision):
     """Batched non-negative OMP (oracle.nn_omp semantics).
 
     Selection: argmax of the *signed* residual correlation; a lane freezes
@@ -740,26 +740,36 @@ def _nn_omp_impl(G, A0, xnormsq, *, T, nnls_iters, precision):
     a nonnegative coefficient).  The per-step NNLS over the active set is
     solved with accelerated projected gradient on the (T, T) restricted
     Gram — small, batched, fixed trip count.
+
+    r2: residual form throughout — the correlation is one (N, p) x (p, K)
+    matmul on the explicit residual (4NpK flops vs the Gram refresh's
+    2NK^2, the batch_omp refresh='auto' rule) and the restricted-Gram
+    append uses gathered-atom inner products instead of per-lane (N, K)
+    Gram-row gathers (the measured-slow pattern, CLAUDE.md).
     """
-    N, K = A0.shape
+    p, K = D.shape
+    N = X.shape[1]
+    Xt = X.T
+    Dt = D.T
+    xnormsq = jnp.sum(Xt * Xt, axis=1)
     carry = dict(
-        C=jnp.zeros((N, K), A0.dtype),
-        Gsel=jnp.zeros((N, T, T), A0.dtype),    # G[I, I]
+        r=Xt,                                   # explicit residual (N, p)
+        Dsel=jnp.zeros((N, T, p), X.dtype),     # selected atoms
+        Gsel=jnp.zeros((N, T, T), X.dtype),     # G[I, I]
         idx=jnp.zeros((N, T), jnp.int32),
-        a0sel=jnp.zeros((N, T), A0.dtype),
-        smask=jnp.zeros((N, T), A0.dtype),      # valid-slot mask
+        a0sel=jnp.zeros((N, T), X.dtype),
+        smask=jnp.zeros((N, T), X.dtype),       # valid-slot mask
         done=jnp.zeros((N,), bool),
-        gamma=jnp.zeros((N, T), A0.dtype),
+        gamma=jnp.zeros((N, T), X.dtype),
         nsel=jnp.zeros((N,), jnp.int32),
     )
-    iotaT = jnp.arange(T)
 
     def step(c, t):
-        Alpha = A0 - jnp.matmul(c["C"], G, precision=precision)
+        Alpha = jnp.matmul(c["r"], D, precision=precision)   # (N, K)
         # exclude already-selected atoms (nonneg codes keep their alpha
         # positive-ish, so unlike plain OMP we mask explicitly — via the
         # max/min-iota trick to avoid the slow masked argmax)
-        sel = jnp.zeros((N, K), A0.dtype).at[
+        sel = jnp.zeros((N, K), X.dtype).at[
             jnp.arange(N)[:, None], c["idx"]
         ].add(c["smask"])
         s = Alpha - 1e30 * sel
@@ -770,19 +780,24 @@ def _nn_omp_impl(G, A0, xnormsq, *, T, nnls_iters, precision):
         ).astype(jnp.int32)
         stop = c["done"] | (mx <= 0.0)
 
-        # append to restricted Gram: row/col g = G[I, k], diag G[k, k]=1
-        grow_sel = jnp.take_along_axis(
-            jnp.take(G, k, axis=0), c["idx"], axis=1
+        # append to restricted Gram via atom inner products:
+        # G[I, k] = Dsel . d_k (p << K, no Gram-row gathers)
+        dk = jnp.take(Dt, k, axis=0)                         # (N, p)
+        grow_sel = jnp.einsum(
+            "ntp,np->nt", c["Dsel"], dk, precision=precision
         ) * c["smask"]                                       # (N, T)
-        e_t = jax.nn.one_hot(t, T, dtype=A0.dtype)
+        e_t = jax.nn.one_hot(t, T, dtype=X.dtype)
         Gsel = (
             c["Gsel"]
             + e_t[None, :, None] * grow_sel[:, None, :]
             + e_t[None, None, :] * grow_sel[:, :, None]
             + (e_t[:, None] * e_t[None, :])[None]
         )
+        Dsel = lax.dynamic_update_slice_in_dim(
+            c["Dsel"], dk[:, None, :], t, axis=1
+        )
         idx = lax.dynamic_update_slice_in_dim(c["idx"], k[:, None], t, axis=1)
-        a0k = jnp.take_along_axis(A0, k[:, None], axis=1)
+        a0k = jnp.sum(dk * Xt, axis=1, keepdims=True)        # d_k^T x
         a0sel = lax.dynamic_update_slice_in_dim(c["a0sel"], a0k, t, axis=1)
         smask = jnp.maximum(c["smask"], e_t[None, :])
 
@@ -802,16 +817,17 @@ def _nn_omp_impl(G, A0, xnormsq, *, T, nnls_iters, precision):
             pg, (g0, g0, jnp.ones(())), None, length=nnls_iters
         )
 
-        C = jnp.zeros_like(c["C"]).at[
-            jnp.arange(N)[:, None], idx
-        ].add(gamma)
+        r = Xt - jnp.einsum(
+            "nt,ntp->np", gamma, Dsel, precision=precision
+        )
 
         frozen = stop
         fz = lambda new, old: jnp.where(
             frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
         )
         out = dict(
-            C=fz(C, c["C"]),
+            r=fz(r, c["r"]),
+            Dsel=fz(Dsel, c["Dsel"]),
             Gsel=fz(Gsel, c["Gsel"]),
             idx=fz(idx, c["idx"]),
             a0sel=fz(a0sel, c["a0sel"]),
@@ -846,11 +862,8 @@ def nn_omp(
     NNLS over the active set.  Returns Gamma (K, N) >= 0."""
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
-    G = jnp.matmul(D.T, D, precision=precision)
-    A0 = jnp.matmul(X.T, D, precision=precision)
-    xnormsq = jnp.sum(X * X, axis=0)
     res = _nn_omp_impl(
-        G, A0, xnormsq, T=T, nnls_iters=nnls_iters, precision=precision
+        D, X, T=T, nnls_iters=nnls_iters, precision=precision
     )
     return res.dense(D.shape[1]) if dense else res
 
