@@ -265,11 +265,26 @@ def config5(quick=False, run_oracle=False):
     src = SRCClassifier(T=10).fit(Xtr, ytr)
     src_acc = src.score(Xte, yte)
     src_dt = time.perf_counter() - t0
-    return {
+    out = {
         "config": 5, "n_train": Xtr.shape[1], "n_test": Xte.shape[1],
         "lcksvd_accuracy": lc_acc, "lcksvd_seconds": lc_dt,
         "src_accuracy": src_acc, "src_seconds": src_dt,
     }
+    if run_oracle:
+        # BASELINE configs[4] bar is accuracy PARITY with the reference:
+        # run the fp64 paper-faithful oracle on the identical protocol
+        # (measured r3: oracle 95.0% == TPU 95.0%, exact parity; the
+        # oracle's TRAIN accuracy is 95.9%, so ~95% is what LC-KSVD
+        # itself achieves here — not an implementation gap)
+        from benchmarks.lcksvd_oracle import run as oracle_run
+
+        orc = oracle_run(K=500 if not quick else 200, T=8,
+                         n_iter=4 if quick else 20)
+        out["oracle_lcksvd_accuracy"] = orc["oracle_lcksvd_accuracy"]
+        out["lcksvd_parity_gap"] = abs(
+            lc_acc - orc["oracle_lcksvd_accuracy"]
+        )
+    return out
 
 
 def config6(quick=False, run_oracle=False):
