@@ -53,14 +53,31 @@ def _bf16_split(a):
     return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
 
+def _exact3_split(a):
+    """Exact 3-way bf16 decomposition of f32: a == hi + mid + lo BITWISE.
+
+    Each subtraction is exact in f32 (the leading bits cancel), and the
+    final residual carries <= 8 significant bits, which bf16 represents
+    exactly (bf16 shares f32's exponent range, so no underflow).  Verified
+    bit-exact on chip (tests/test_pallas_omp.py::test_dk_split3_bit_exact).
+    """
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
-            *, p, K, T, eps, eps_mode, corr_mode):
+            *, p, K, T, eps, eps_mode, corr_mode, dk_mode):
     Nb = x_ref.shape[1]
     x = x_ref[...]                                    # (p, Nb)
     DT = dt_ref[...]                                  # (K, p)
     D = d_ref[...]                                    # (p, K)
     if corr_mode == "split3":
         DTh, DTl = _bf16_split(DT)
+    if dk_mode == "split3":
+        Dh, Dm, Dl = _exact3_split(D)
 
     def corr_matmul(r):
         """Selection-only correlation D^T r.  'split3' is a manual 3-pass
@@ -117,11 +134,23 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
         k = jnp.min(jnp.where(s == mx, iota_k, K), axis=0, keepdims=True)
 
         # --- gather-free atom fetch: one-hot column selection on the MXU.
-        # HIGHEST reproduces the f32 column bit-exactly (a Dekker 3-split
-        # measured ~9% faster but broke bit-exactness — see git history).
-        onehot = (iota_k == k).astype(jnp.float32)    # (K, Nb)
-        dk = jnp.dot(D, onehot, preferred_element_type=jnp.float32,
-                     precision=_HI)                   # (p, Nb)
+        # dk_mode='hi': HIGHEST (6 bf16 passes) reproduces the f32 column
+        # bit-exactly.  dk_mode='split3': exact 3-way bf16 split of D —
+        # one-hot products and the f32 additions are all exact, so this is
+        # ALSO bitwise identical to the gather at half the MXU passes
+        # (the r2 'Dekker 3-split' used a 2-term split and lost bits; the
+        # 3-term split above is lossless).
+        if dk_mode == "split3":
+            oh = (iota_k == k).astype(jnp.bfloat16)   # (K, Nb), exact 0/1
+            dk = (
+                jnp.dot(Dh, oh, preferred_element_type=jnp.float32)
+                + jnp.dot(Dm, oh, preferred_element_type=jnp.float32)
+                + jnp.dot(Dl, oh, preferred_element_type=jnp.float32)
+            )                                         # (p, Nb)
+        else:
+            onehot = (iota_k == k).astype(jnp.float32)  # (K, Nb)
+            dk = jnp.dot(D, onehot, preferred_element_type=jnp.float32,
+                         precision=_HI)               # (p, Nb)
 
         # --- progressive inverse-Cholesky append (lanes-last, unrolled):
         # g = Dsel . dk;  w = L g;  nu = 1 - ||w||^2;
@@ -198,12 +227,12 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "eps", "eps_mode", "block", "corr_mode",
-                     "interpret"),
+                     "dk_mode", "interpret"),
 )
 def omp_fused(
     D: jax.Array, X: jax.Array, *, T: int, eps: float = 0.0,
     eps_mode: bool = False, block: int = 512, corr_mode: str = "hi",
-    interpret: bool = False,
+    dk_mode: str = "hi", interpret: bool = False,
 ):
     """Fused OMP: returns (idx (N, T) i32, gamma (N, T), err (N,),
     nsel (N,)) with greedy.GreedyResult semantics.  N % block == 0."""
@@ -216,7 +245,7 @@ def omp_fused(
     gam, idx, aux = pl.pallas_call(
         functools.partial(
             _kernel, p=p, K=K, T=T, eps=float(eps), eps_mode=eps_mode,
-            corr_mode=corr_mode,
+            corr_mode=corr_mode, dk_mode=dk_mode,
         ),
         grid=(N // block,),
         in_specs=[

@@ -389,7 +389,12 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense):
     from lyssandra_tpu.ops.pallas_omp import omp_fused
 
     N = X.shape[1]
-    block = 256
+    # block=512 + the exact-3-split dk fetch: 5.21M vs 3.64M patches/s for
+    # the r2 default (block=256, HIGHEST dk) in the same chip session,
+    # BITWISE-identical idx/gamma (benchmarks/results/ab_fused.json).
+    # (K, block) f32 intermediates live in the ~16 MB VMEM budget: halve
+    # the block beyond K=2048 (CLAUDE.md measured limits).
+    block = 512 if D.shape[1] <= 2048 else 256
     Np = -(-N // block) * block
     if Np != N:
         X = jnp.concatenate(
@@ -397,6 +402,7 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense):
         )
     idx, gamma, err, nsel = omp_fused(
         D, X, T=T, eps=eps, eps_mode=eps_mode, block=block,
+        dk_mode="split3",
     )
     res = GreedyResult(idx[:N], gamma[:N], err[:N], nsel[:N])
     return res.dense(D.shape[1]) if dense else res

@@ -56,6 +56,40 @@ def test_fused_omp_matches_scan_eps_mode(rng):
     )
 
 
+def test_exact3_split_is_lossless(rng):
+    # the dk_mode='split3' fetch relies on f32 == hi + mid + lo BITWISE
+    from lyssandra_tpu.ops.pallas_omp import _exact3_split
+
+    a = jnp.asarray(
+        rng.standard_normal((64, 1024)).astype(np.float32)
+        * np.exp(rng.uniform(-20, 20, (64, 1024))).astype(np.float32)
+    )
+    hi, mid, lo = _exact3_split(a)
+    back = (hi.astype(jnp.float32) + mid.astype(jnp.float32)
+            + lo.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+
+
+def test_dk_split3_bit_exact_vs_hi(rng):
+    # the one-hot products and f32 additions of the exact 3-split are all
+    # exact, so dk == the gathered column in both modes: idx, gamma and
+    # nsel must be BITWISE identical.  err may differ by ~1 ulp — with
+    # identical inputs the only freedom left is the compiler reassociating
+    # the sum(r*r) reduction between the two programs.
+    D, X, _ = make_problem(rng, p=16, K=128, N=1024, T=4)
+    Df, Xf = D.astype(np.float32), X.astype(np.float32)
+    ref = omp_fused(jnp.asarray(Df), jnp.asarray(Xf), T=4, block=512,
+                    interpret=True)
+    out = omp_fused(jnp.asarray(Df), jnp.asarray(Xf), T=4, block=512,
+                    dk_mode="split3", interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(out[3]), np.asarray(ref[3]))
+    np.testing.assert_allclose(
+        np.asarray(out[2]), np.asarray(ref[2]), atol=1e-6
+    )
+
+
 def test_fused_omp_duplicate_atoms_freeze(rng):
     # duplicate-atom dictionary: progressive factor breaks down (nu ~ 0)
     # and the lane must freeze with finite outputs, like the scan solver
