@@ -24,7 +24,7 @@ class SparseEncoder:
 
     algorithm: 'omp' | 'bomp' (batch_omp) | 'group_omp' | 'nn_omp'
                | 'thresholding' | 'lasso' (feature-sign search)
-               | 'lars' | 'llc' (locality-constrained linear coding)
+               | 'lars' | 'fista' | 'llc' (locality-constrained coding)
     params: algorithm kwargs (T, eps, lam, groups, kind, ...).
     block:  signals per device step (memory chunking; padded to full blocks
             so every step hits the same compiled executable).
@@ -65,17 +65,21 @@ class SparseEncoder:
                 D, X, self.params["lam"], kind
             )
         if alg in ("lasso", "feature_sign", "fss"):
-            from lyssandra_tpu.solvers import lasso as _lasso
+            from lyssandra_tpu.solvers import lasso as _fs
 
-            return lambda D, X, **kw: _lasso.feature_sign(
+            return lambda D, X, **kw: _fs(
                 D, X, **{k: v for k, v in kw.items()}
             )
         if alg == "nn_omp":
             return greedy.nn_omp
         if alg in ("lars", "lasso_lars"):
-            from lyssandra_tpu.solvers import lasso as _lasso
+            from lyssandra_tpu.solvers import lars as _lars
 
-            return lambda D, X, **kw: _lasso.lars(D, X, **kw)
+            return lambda D, X, **kw: _lars(D, X, **kw)
+        if alg == "fista":
+            from lyssandra_tpu.solvers import fista as _fista
+
+            return lambda D, X, **kw: _fista(D, X, **kw)
         if alg == "llc":
             from lyssandra_tpu.solvers.llc import llc as _llc
 
@@ -104,7 +108,7 @@ class SparseEncoder:
     # rely on GSPMD propagation from the sharded inputs.
     _TRACEABLE = ("bomp", "batch_omp", "omp", "group_omp", "nn_omp",
                   "thresholding", "soft_thresholding", "hard_thresholding",
-                  "llc")
+                  "llc", "fista")
 
     def _sharded_call(self, solver, kw, D, Xb):
         """Run solver over the data mesh via shard_map (D replicated,

@@ -115,3 +115,39 @@ def test_lars_zero_and_path_ends(rng):
     act = np.abs(G) > 1e-8
     assert (np.abs(gr + lam * np.sign(G))[act] < 5e-3).all()
     assert (np.abs(gr[~act]) <= lam + 5e-3).all()
+
+
+def test_encoder_fista_route(rng):
+    # 'fista' through the SparseEncoder facade reaches the lasso optimum
+    from lyssandra_tpu.solvers.encoder import SparseEncoder
+
+    D, X, _ = make_problem(rng, p=16, K=32, N=24, T=3)
+    lam = 0.2
+    ref = oracle.lasso(D, X, lam)
+    out = np.asarray(
+        SparseEncoder("fista", {"lam": lam, "n_iter": 500},
+                      check_atoms=False).encode(X, D)
+    ).astype(np.float64)
+    np.testing.assert_allclose(
+        _objective(D, X, out, lam), _objective(D, X, ref, lam),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_encoder_lasso_and_lars_routes(rng):
+    # these facade routes were broken (AttributeError: the package's
+    # `lasso` re-export shadows the submodule) until the fista route
+    # exposed it — pin all three against the oracle objective
+    from lyssandra_tpu.solvers.encoder import SparseEncoder
+
+    D, X, _ = make_problem(rng, p=16, K=32, N=24, T=3)
+    lam = 0.2
+    o_ref = _objective(D, X, oracle.lasso(D, X, lam), lam)
+    for alg in ("lasso", "lars"):
+        out = np.asarray(
+            SparseEncoder(alg, {"lam": lam}, check_atoms=False).encode(X, D)
+        ).astype(np.float64)
+        np.testing.assert_allclose(
+            _objective(D, X, out, lam), o_ref, rtol=1e-3, atol=1e-4,
+            err_msg=alg,
+        )
