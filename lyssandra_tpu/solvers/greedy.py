@@ -372,29 +372,43 @@ def _fused_supported(D, X, precision, corr_dtype, eps) -> bool:
         # soon as every lane converges, while the fused kernel always
         # unrolls all T steps.  T-mode always runs T steps either way.
         and eps is None
-        and p % 8 == 0
-        and K % 128 == 0
+        # p and K need not be tile-aligned: _omp_fused_call zero-pads rows
+        # and atoms, which is BITWISE neutral (zero atoms have exactly-zero
+        # correlation and are never selected; zero rows only append +0.0
+        # terms to reductions) — this is what lets SRC (K = n_train,
+        # arbitrary) and LC-KSVD predict (K=500) ride the fused kernel
         and p <= 512
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "eps", "eps_mode", "dense")
+    jax.jit, static_argnames=("T", "eps", "eps_mode", "dense", "interpret")
 )
-def _omp_fused_call(D, X, *, T, eps, eps_mode, dense):
+def _omp_fused_call(D, X, *, T, eps, eps_mode, dense, interpret=False):
     """Jitted wrapper around the full-fused Pallas solver: lane padding,
     the solve, un-padding, and (optionally) the dense scatter are ONE
     device program — the eager glue was costing 10x at small problem
     sizes (config 1: 8 dispatches/launch over the ~ms-latency tunnel)."""
     from lyssandra_tpu.ops.pallas_omp import omp_fused
 
+    p0, K0 = D.shape
     N = X.shape[1]
+    # zero-pad rows to the 8-sublane tile and atoms to the 128-lane tile —
+    # bitwise neutral (zero atoms: exactly-zero correlation, never win the
+    # argmax; zero rows: only +0.0 terms in every reduction)
+    pp = -(-p0 // 8) * 8
+    Kp = -(-K0 // 128) * 128
+    if pp != p0:
+        D = jnp.pad(D, ((0, pp - p0), (0, 0)))
+        X = jnp.pad(X, ((0, pp - p0), (0, 0)))
+    if Kp != K0:
+        D = jnp.pad(D, ((0, 0), (0, Kp - K0)))
     # block=512 + the exact-3-split dk fetch: 5.21M vs 3.64M patches/s for
     # the r2 default (block=256, HIGHEST dk) in the same chip session,
     # BITWISE-identical idx/gamma (benchmarks/results/ab_fused.json).
     # (K, block) f32 intermediates live in the ~16 MB VMEM budget: halve
     # the block beyond K=2048 (CLAUDE.md measured limits).
-    block = 512 if D.shape[1] <= 2048 else 256
+    block = 512 if Kp <= 2048 else 256
     Np = -(-N // block) * block
     if Np != N:
         X = jnp.concatenate(
@@ -402,10 +416,10 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense):
         )
     idx, gamma, err, nsel = omp_fused(
         D, X, T=T, eps=eps, eps_mode=eps_mode, block=block,
-        dk_mode="split3",
+        dk_mode="split3", interpret=interpret,
     )
     res = GreedyResult(idx[:N], gamma[:N], err[:N], nsel[:N])
-    return res.dense(D.shape[1]) if dense else res
+    return res.dense(K0) if dense else res
 
 
 def _omp_fused_result(D, X, T, eps, dense=False):

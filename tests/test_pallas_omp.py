@@ -108,3 +108,29 @@ def test_fused_omp_duplicate_atoms_freeze(rng):
     np.testing.assert_allclose(
         np.asarray(gam), np.asarray(ref.gamma), atol=5e-5
     )
+
+
+def test_fused_wrapper_pads_odd_shapes_bitwise(rng):
+    # K=100 (not lane-aligned), p=12 (not sublane-aligned), N=100: the
+    # wrapper's zero-padding of rows/atoms/lanes must reproduce the scan
+    # solver bitwise on idx/nsel and to fp tolerance on gamma
+    from jax import lax
+
+    from lyssandra_tpu.solvers.greedy import _omp_fused_call
+
+    D, X, _ = make_problem(rng, p=12, K=100, N=100, T=4)
+    Df, Xf = jnp.asarray(D, jnp.float32), jnp.asarray(X, jnp.float32)
+    ref = _omp_impl(Df, Xf, 0.0, T=4, eps_mode=False,
+                    precision=lax.Precision.HIGHEST)
+    out = _omp_fused_call(Df, Xf, T=4, eps=0.0, eps_mode=False,
+                          dense=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.idx), np.asarray(ref.idx))
+    np.testing.assert_array_equal(np.asarray(out.nsel),
+                                  np.asarray(ref.nsel))
+    np.testing.assert_allclose(np.asarray(out.gamma),
+                               np.asarray(ref.gamma), atol=2e-5)
+    assert (np.asarray(out.idx) < 100).all()
+    # dense scatter keeps the ORIGINAL K
+    dense = _omp_fused_call(Df, Xf, T=4, eps=0.0, eps_mode=False,
+                            dense=True, interpret=True)
+    assert dense.shape == (100, 100)
