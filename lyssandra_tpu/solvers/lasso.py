@@ -180,9 +180,15 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
             )                                                # (N, A+1)
             gt = gact[:, None, :] + ts[..., None] * diff[:, None, :]
             # obj(t) = ||x||^2 - 2 g.a0 + g^T M g + lam |g|_1 (const dropped;
-            # gt is zero on inactive slots, so the unmasked M suffices)
+            # gt is zero on inactive slots, so the unmasked M suffices).
+            # The quadratic is contracted in TWO steps: the one-shot
+            # einsum("nca,nab,ncb->nc") lets XLA materialize an
+            # (N, A+1, A, A) intermediate — 35 GB at 32k lanes, which
+            # OOM-crashed the TPU worker (solver_sweep r3); the staged
+            # form peaks at (N, A+1, A), same math.
             lin = -2.0 * jnp.einsum("nca,na->nc", gt, a0sel, precision=_HI)
-            quad = jnp.einsum("nca,nab,ncb->nc", gt, M, gt, precision=_HI)
+            Mg = jnp.einsum("nab,ncb->nca", M, gt, precision=_HI)
+            quad = jnp.sum(gt * Mg, axis=2)
             l1 = lam * jnp.sum(jnp.abs(gt) * maskf[:, None, :], axis=2)
             obj = lin + quad + l1
             best = jnp.argmin(obj, axis=1)
