@@ -416,8 +416,32 @@ def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps):
             (maskf[:, :, None] * maskf[:, None, :]) > 0, M, eyeA[None]
         ) + 1e-6 * eyeA[None]
         a0sel = jnp.take_along_axis(A0, idx, axis=1) * maskf
-        sol = jnp.linalg.solve(
-            Mp, jnp.stack([a0sel, theta / 2.0], axis=-1)
+        # both homotopy solves (c_A and w_A) as ONE two-rhs CG: a batched
+        # (N, 64, 64) LU costs ~92 ms on this chip (measured, see
+        # masked_solve note) and ran once per homotopy step; CG is exact
+        # in <= A iterations and its einsum matvecs vectorize over the
+        # rhs axis — same anti-pattern fix as nn_omp's NNLS (r3)
+        rhs = jnp.stack([a0sel, theta / 2.0], axis=-1)       # (N, A, 2)
+
+        def mv(v):
+            return jnp.einsum("nab,nbr->nar", Mp, v, precision=_HI)
+
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs - mv(x0)
+
+        def cg(carry, _):
+            x, r, pv, rs = carry
+            Mpv = mv(pv)
+            al = rs / (jnp.sum(pv * Mpv, axis=1) + 1e-30)    # (N, 2)
+            x = x + al[:, None, :] * pv
+            r = r - al[:, None, :] * Mpv
+            rs2 = jnp.sum(r * r, axis=1)
+            pv = r + (rs2 / (rs + 1e-30))[:, None, :] * pv
+            return (x, r, pv, rs2), None
+
+        (sol, *_), _ = lax.scan(
+            cg, (x0, r0, r0, jnp.sum(r0 * r0, axis=1)), None,
+            length=A + 16,
         )
         cA = sol[..., 0] * maskf            # g at lt = 0
         wA = sol[..., 1] * maskf            # dg/dlt (negated)
