@@ -565,6 +565,47 @@ def masked_omp(
     return res.dense(D.shape[1]) if dense else res
 
 
+def _chol_small_inv(S, gs: int, jitter):
+    """Unrolled Cholesky of batched tiny SPD blocks + inverse factor.
+
+    S: (N, gs, gs); jitter: scalar or (N,) added to the diagonal.  Returns
+    (Linv (N, gs, gs) with rows above the diagonal zero, ok (N,) = every
+    pivot positive).  Why unrolled: batched tiny LAPACK ops are a TPU
+    anti-pattern — cholesky + triangular_solve at (32768, 8, 8) measure
+    ~28 ms on chip vs <1 ms as lanes-batched vector ops (the same finding
+    that rebuilt nn_omp's NNLS and LARS's homotopy solves, r3).
+    gs is static and small (<= ~8), so the gs^3/3 unrolled ops fuse.
+    """
+    L = [[None] * gs for _ in range(gs)]
+    ok = None
+    for i in range(gs):
+        s = S[:, i, i] + jitter
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        okk = s > 0
+        ok = okk if ok is None else (ok & okk)
+        dii = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[i][i] = dii
+        inv_dii = 1.0 / dii
+        for j in range(i + 1, gs):
+            s2 = S[:, j, i]
+            for k in range(i):
+                s2 = s2 - L[j][k] * L[i][k]
+            L[j][i] = s2 * inv_dii
+    zero = jnp.zeros_like(L[0][0])
+    inv = [[zero] * gs for _ in range(gs)]
+    for j in range(gs):
+        for i in range(j, gs):
+            acc = -sum((L[i][k] * inv[k][j] for k in range(j, i)), zero)
+            if i == j:
+                acc = acc + 1.0
+            inv[i][j] = acc / L[i][i]
+    Linv = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in inv], axis=-2
+    )                                                 # (N, gs, gs)
+    return Linv, ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_groups", "gs", "T", "eps_mode", "precision"),
@@ -643,18 +684,29 @@ def _group_omp_impl(D, X, members, mmask, member_oh, eps,
         # to the span projection, matching the oracle's lstsq residual),
         # escalating x1e4 for lanes where fp32 rounding still breaks chol
         scale = jnp.max(jnp.abs(Schur), axis=(1, 2)) + 1e-3
-        Lb = jnp.linalg.cholesky(Schur + 1e-9 * eye_gs[None])
-        retry = ~jnp.all(jnp.isfinite(Lb), axis=(1, 2))
-        Lb2 = jnp.linalg.cholesky(
-            Schur + (1e-2 * scale)[:, None, None] * eye_gs[None]
-        )
-        Lb = jnp.where(retry[:, None, None], Lb2, Lb)
-        bad = ~jnp.all(jnp.isfinite(Lb), axis=(1, 2))
-        Lb = jnp.where(bad[:, None, None], eye_gs[None], Lb)
-        Lbinv = lax.linalg.triangular_solve(
-            Lb, jnp.broadcast_to(eye_gs[None], Lb.shape),
-            left_side=True, lower=True,
-        )
+        if gs <= 8:
+            # lanes-batched unrolled factorization: tiny batched LAPACK
+            # ops measure ~28 ms at (32k, 8, 8) on chip vs <1 ms unrolled
+            Lbinv1, ok1 = _chol_small_inv(Schur, gs, 1e-9)
+            Lbinv2, ok2 = _chol_small_inv(Schur, gs, 1e-2 * scale)
+            Lbinv = jnp.where(ok1[:, None, None], Lbinv1, Lbinv2)
+            bad = ~ok1 & ~ok2
+            Lbinv = jnp.where(bad[:, None, None], eye_gs[None], Lbinv)
+        else:
+            # big groups: the unrolled graph is O(gs^3) ops and explodes
+            # compile time (619 s at gs=20 on CPU) — keep LAPACK there
+            Lb = jnp.linalg.cholesky(Schur + 1e-9 * eye_gs[None])
+            retry = ~jnp.all(jnp.isfinite(Lb), axis=(1, 2))
+            Lb2 = jnp.linalg.cholesky(
+                Schur + (1e-2 * scale)[:, None, None] * eye_gs[None]
+            )
+            Lb = jnp.where(retry[:, None, None], Lb2, Lb)
+            bad = ~jnp.all(jnp.isfinite(Lb), axis=(1, 2))
+            Lb = jnp.where(bad[:, None, None], eye_gs[None], Lb)
+            Lbinv = lax.linalg.triangular_solve(
+                Lb, jnp.broadcast_to(eye_gs[None], Lb.shape),
+                left_side=True, lower=True,
+            )
         newrows = -jnp.einsum(
             "ngh,nah,nab->ngb", Lbinv, W, c["Linv"]
         )                                                     # (N, gs, A)
