@@ -37,12 +37,21 @@ class SparseEncoder:
         algorithm: str = "bomp",
         params: dict[str, Any] | None = None,
         *,
-        block: int = 16384,
+        block: int | None = None,
         mesh: jax.sharding.Mesh | None = None,
         check_atoms: bool = True,
     ):
         self.algorithm = algorithm
         self.params = dict(params or {})
+        if block is None:
+            # active-set convex solvers iterate until EVERY lane in the
+            # block converges, so big blocks ride their slowest straggler;
+            # 4096-lane blocks dispatched back-to-back measured +27% over
+            # one 32k call at identical objective (r3, on chip).  Greedy
+            # solvers run fixed trip counts and want the big block.
+            convex = algorithm in ("lasso", "feature_sign", "fss",
+                                   "lars", "lasso_lars")
+            block = 4096 if convex else 16384
         self.block = block
         self.mesh = mesh
         self.check_atoms = check_atoms
