@@ -606,20 +606,30 @@ lasso_lars = lars  # reference-style alias (sklearn LassoLars wrapper name)
 
 
 def _fista_body(D, X, A0, lam, g0, n_iter: int):
-    """Traceable FISTA core: warm-starts from g0, Gershgorin step bound
+    """Traceable FISTA core: warm-starts from g0, power-iterated step bound
     (no eigendecomposition — cheap enough to run inside scan bodies).
-    A0 = D^T X (K, N)."""
-    G = jnp.matmul(D.T, D, precision=_HI)
-    # lmax(G) via a short power iteration (PSD: converges fast, no
-    # eigendecomposition — cheap enough to run inside scan bodies)
-    v = jnp.ones((G.shape[0],), G.dtype) / jnp.sqrt(G.shape[0])
+    A0 = D^T X (K, N).
+
+    Gradients use the residual form 2 D^T (D y - x): 4pK flops per lane
+    per iteration vs the Gram form's 2K^2 — 8x cheaper at p=64, K=1024
+    (the batch_omp refresh='auto' rule; overcomplete dictionaries always
+    have 2p < K).  lmax(D^T D) = sigma_max(D)^2 comes from the same
+    two-matmul operator, so the K x K Gram is never formed."""
+    p, K = D.shape
+
+    def gram_mv(v):
+        return jnp.matmul(
+            D.T, jnp.matmul(D, v, precision=_HI), precision=_HI
+        )
+
+    v = jnp.ones((K,), D.dtype) / jnp.sqrt(K)
 
     def pw(v, _):
-        w = jnp.matmul(G, v, precision=_HI)
+        w = gram_mv(v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-12), None
 
     v, _ = lax.scan(pw, v, None, length=16)
-    lmax = jnp.dot(v, jnp.matmul(G, v, precision=_HI))
+    lmax = jnp.dot(v, gram_mv(v))
     # power iteration underestimates lmax; 1.1 margin keeps L an upper bound
     L = 2.2 * lmax + 1e-6
 
@@ -628,7 +638,7 @@ def _fista_body(D, X, A0, lam, g0, n_iter: int):
 
     def step(carry, _):
         g, y, t = carry
-        grad = 2.0 * (jnp.matmul(G, y, precision=_HI) - A0)
+        grad = 2.0 * (gram_mv(y) - A0)
         gnew = shrink(y - grad / L, lam / L)
         tnew = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         ynew = gnew + ((t - 1.0) / tnew) * (gnew - g)
