@@ -58,7 +58,10 @@ def measure_tpu(D, Xblocks):
         float(np.asarray(chk))
 
     best = np.inf
-    for _ in range(3):
+    # best-of-5: same-session throughput can swing ~20% on the tunneled
+    # backend (measured r3); more reps cost ~50 ms each and tighten the
+    # capture
+    for _ in range(5):
         t0 = time.perf_counter()
         chks = [run(Xb)[1] for Xb in blocks]
         total = jnp.sum(jnp.stack(chks))   # depends on every block's result

@@ -70,9 +70,11 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
         )
 
     def outer_step(st):
-        idx, mask, theta, gact, done, overflow, it = st
-        gfull = dense(idx, mask, gact)
-        gr = grad_full(gfull)
+        idx, mask, theta, gact, gr, done, overflow, it = st
+        # gr = grad at the CURRENT solution, CARRIED from the previous
+        # iteration's final KKT check (it is the same quantity): computing
+        # it fresh here doubled the two big (N, p <-> K) matmuls per outer
+        # iteration — the dominant cost at scale (r3, ~1.5x end to end)
 
         is_active = jnp.zeros((N, K), bool).at[
             jnp.arange(N)[:, None], idx
@@ -237,7 +239,7 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
         fz1 = lambda new, old: jnp.where(done[:, None], old, new)
         return (
             fz1(idx2, idx), fz1(mask3, mask), fz1(theta3, theta),
-            fz1(gact3, gact), done2, ovf, it + 1,
+            fz1(gact3, gact), fz1(gr3, gr), done2, ovf, it + 1,
         )
 
     it0 = state[-1]
@@ -247,7 +249,7 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
         return (it - it0 < max_iter) & ~jnp.all(done)
 
     st = lax.while_loop(outer_cond, outer_step, state)
-    idx, mask, theta, gact, done, overflow, it = st
+    idx, mask, theta, gact, gr, done, overflow, it = st
     gfull = dense(idx, mask, gact)
     return st, FeatureSignResult(gfull.T, it, done, overflow)
 
@@ -278,6 +280,7 @@ def _fs_init(A0, lam, A):
         jnp.zeros((N, A), bool),
         jnp.zeros((N, A), A0.dtype),
         jnp.zeros((N, A), A0.dtype),
+        -2.0 * A0,          # grad at g = 0 (carried through outer_step)
         done0,
         jnp.zeros((N,), bool),
         jnp.zeros((), jnp.int32),
