@@ -15,7 +15,6 @@ Usage: python -m benchmarks.profile_bomp
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
