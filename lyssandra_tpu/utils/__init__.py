@@ -1,6 +1,7 @@
 from lyssandra_tpu.utils.workspace import Workspace
 from lyssandra_tpu.utils.datasets import (
     load_image,
+    load_image_folders,
     synthetic_image,
     standard_test_image,
     patch_dataset,

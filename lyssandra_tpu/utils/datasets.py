@@ -35,6 +35,50 @@ def load_image(path: str, gray: bool = True) -> np.ndarray:
     return np.asarray(img, np.float64)
 
 
+def load_image_folders(
+    root: str, *, gray: bool = True, size: int | None = None,
+    extensions: tuple[str, ...] = (".png", ".jpg", ".jpeg", ".bmp",
+                                   ".tif", ".tiff", ".npy"),
+) -> tuple[list[np.ndarray], np.ndarray, list[str]]:
+    """Class-per-subdirectory image dataset loader (the reference's
+    recognition-experiment layout, SURVEY.md §2.1/§3.5: dataset paths from
+    the experiment config, one folder per class).
+
+    Returns (images, labels, class_names); subdirectories are classes in
+    sorted order, files sorted within each.  ``size``: optional square
+    resize (PIL bilinear; .npy inputs must already match).
+    """
+    classes = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+    )
+    if not classes:
+        raise ValueError(f"no class subdirectories under {root!r}")
+    images: list[np.ndarray] = []
+    labels: list[int] = []
+    for c, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if not fname.lower().endswith(extensions):
+                continue
+            path = os.path.join(cdir, fname)
+            if size is not None and not fname.endswith(".npy"):
+                from PIL import Image
+
+                img = Image.open(path)
+                if gray:
+                    img = img.convert("L")
+                img = img.resize((size, size), Image.BILINEAR)
+                arr = np.asarray(img, np.float64)
+            else:
+                arr = load_image(path, gray=gray)
+            images.append(arr)
+            labels.append(c)
+    if not images:
+        raise ValueError(f"no images with {extensions} under {root!r}")
+    return images, np.asarray(labels, np.int32), classes
+
+
 def synthetic_image(
     kind: str = "texture", size: int = 256, seed: int = 0
 ) -> np.ndarray:

@@ -82,3 +82,26 @@ def test_timed_sync():
     f = lambda x: jnp.sin(x).sum()
     out, dt = timed(f, jnp.ones((128, 128)), reps=2)
     assert dt > 0
+
+
+def test_load_image_folders(tmp_path):
+    # class-per-subdirectory layout (the reference's recognition datasets)
+    import numpy as np
+    from PIL import Image
+
+    from lyssandra_tpu.utils import load_image_folders, synthetic_image
+
+    for cls, kind in (("a_smooth", "smooth"), ("b_tex", "texture")):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(2):
+            img = synthetic_image(kind, 32, seed=i)
+            Image.fromarray(img.astype(np.uint8)).save(d / f"im{i}.png")
+        np.save(d / "im2.npy", synthetic_image(kind, 32, seed=9))
+    imgs, y, names = load_image_folders(str(tmp_path))
+    assert names == ["a_smooth", "b_tex"]
+    assert len(imgs) == 6 and list(y) == [0, 0, 0, 1, 1, 1]
+    assert all(im.shape == (32, 32) for im in imgs)
+    imgs16, _, _ = load_image_folders(str(tmp_path), size=16,
+                                      extensions=(".png",))
+    assert all(im.shape == (16, 16) for im in imgs16)
