@@ -16,6 +16,8 @@ Experiment spec (YAML or JSON):
       patch: 8
       # dataset: digits           #   sklearn bundled digits (X, y)
       # npz: path/to/data.npz     #   arrays X (p, N) [, y (N,)]
+      # folders: path/to/root     #   class-per-subdirectory image dataset
+      # resize: 32                #   optional square resize with folders
     params: {K: 512, T: 8, n_iter: 20, ...}   # config fields for the task
 
 Every task returns (and saves) a plain-JSON result dict; learned arrays
@@ -45,7 +47,13 @@ def _load_patches(data: dict[str, Any]) -> np.ndarray:
     if "npz" in data:
         with np.load(data["npz"]) as z:
             return np.asarray(z["X"], np.float32)
-    if "paths" in data:
+    if "folders" in data:
+        from lyssandra_tpu.utils import load_image_folders
+
+        imgs, _, _ = load_image_folders(
+            data["folders"], size=data.get("resize")
+        )
+    elif "paths" in data:
         imgs = [load_image(path) for path in data["paths"]]
     else:
         imgs = [standard_test_image(name, size)
@@ -65,7 +73,21 @@ def _load_labeled(data: dict[str, Any]):
     if "npz" in data:
         with np.load(data["npz"]) as z:
             return np.asarray(z["X"], np.float32), np.asarray(z["y"], int)
-    raise ValueError("labeled task needs data.dataset=digits or data.npz")
+    if "folders" in data:
+        # class-per-subdirectory image dataset -> per-image patch vectors
+        # (pooled-feature pipelines consume the images via apps.features)
+        from lyssandra_tpu.utils import load_image_folders
+
+        imgs, y, _ = load_image_folders(
+            data["folders"], size=data.get("resize")
+        )
+        X = np.stack([im.reshape(-1) for im in imgs], axis=1)
+        X = X.astype(np.float32)
+        X /= np.maximum(np.linalg.norm(X, axis=0, keepdims=True), 1e-9)
+        return X, y
+    raise ValueError(
+        "labeled task needs data.dataset=digits, data.npz or data.folders"
+    )
 
 
 def _split(X, y, test_size, seed):

@@ -65,3 +65,30 @@ def test_inpaint_experiment():
         "params": {"missing_frac": 0.25, "T": 6},
     })
     assert result["psnr_inpainted"] > result["psnr_corrupted"] + 10.0
+
+
+def test_experiment_folder_dataset(tmp_path):
+    # YAML 'folders' data source: class-per-subdirectory images -> encode
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from lyssandra_tpu.experiments import run_experiment
+    from lyssandra_tpu.utils import synthetic_image
+
+    for cls, kind in (("s", "smooth"), ("t", "texture")):
+        d = tmp_path / "ds" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(
+                synthetic_image(kind, 32, seed=i).astype(np.uint8)
+            ).save(d / f"{i}.png")
+    spec = {
+        "task": "encode",
+        "data": {"folders": str(tmp_path / "ds"), "n_patches": 512,
+                 "patch": 8, "K": 64},
+        "params": {"algorithm": "bomp", "T": 4},
+    }
+    res = run_experiment(spec)
+    assert np.isfinite(res["rel_err"]) and res["n"] == 512
