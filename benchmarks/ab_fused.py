@@ -50,6 +50,7 @@ def main():
 
     out = {}
     ref0 = None
+    ref_name = None
     for name, kw in variants:
         def run(Xb):
             idx, gam, err, nsel = omp_fused(Dj, Xb, T=T, **kw)
@@ -76,13 +77,16 @@ def main():
         idx, gam = np.asarray(idx), np.asarray(gam)
         if ref0 is None:
             ref0 = (idx, gam)
+            ref_name = name
             parity = "reference"
         else:
             parity = bool(
                 (idx == ref0[0]).all() and (gam == ref0[1]).all()
             )
+        # the reference is the first variant that RAN (not a fixed name:
+        # if b256_hi fails its compile check, the label must follow)
         out[name] = {"patches_per_sec": round(pps, 1),
-                     "bitwise_vs_b256_hi": parity}
+                     "bitwise_vs": ref_name, "bitwise_equal": parity}
         print(name, out[name])
 
     os.makedirs(RESULTS_DIR, exist_ok=True)

@@ -62,6 +62,7 @@ class FeatureExtractor:
         self, D, *, patch: int = 8, stride: int = 4,
         encoder: SparseEncoder | None = None,
         levels=(1, 2, 4), preprocess: str = "dc", whitener=None,
+        img_block: int = 64,
     ):
         self.D = jnp.asarray(D, jnp.float32)
         self.patch = patch
@@ -72,6 +73,7 @@ class FeatureExtractor:
         self.levels = levels
         self.preprocess = preprocess
         self.whitener = whitener
+        self.img_block = img_block
         if preprocess.endswith("+whiten") and whitener is None:
             raise ValueError("preprocess includes 'whiten': pass whitener=")
 
@@ -94,12 +96,25 @@ class FeatureExtractor:
         """imgs: (B, H, W) array or iterable of same-shape (H, W) arrays
         -> (B, F) features.
 
-        Batched TPU-native path: ONE solver launch codes every patch of
-        every image (B * Np lanes — launches scale with the dataset, not
-        with B), then pooling is a reshaped max-reduction per image."""
+        Batched TPU-native path: one solver launch codes every patch of an
+        ``img_block``-image chunk (img_block * Np lanes), then pooling is a
+        reshaped max-reduction per image.  Chunking over images bounds the
+        materialized patch matrix at (p^2, img_block * Np) so dataset-scale
+        transforms cannot exhaust HBM; every full chunk reuses one compiled
+        executable."""
         imgs = jnp.asarray(imgs, jnp.float32)
         if imgs.ndim == 2:
             imgs = imgs[None]
+        B = imgs.shape[0]
+        if B <= self.img_block:
+            return self._transform_block(imgs)
+        feats = [
+            self._transform_block(imgs[b : b + self.img_block])
+            for b in range(0, B, self.img_block)
+        ]
+        return jnp.concatenate(feats, axis=0)
+
+    def _transform_block(self, imgs) -> jax.Array:
         B, H, W = imgs.shape
         p, s = self.patch, self.stride
         Xb = jax.vmap(lambda im: extract_patches(im, p, s))(imgs)

@@ -51,7 +51,7 @@ def _load_patches(data: dict[str, Any]) -> np.ndarray:
         from lyssandra_tpu.utils import load_image_folders
 
         imgs, _, _ = load_image_folders(
-            data["folders"], size=data.get("resize")
+            data["folders"], size=data.get("resize"), allow_mixed=True
         )
     elif "paths" in data:
         imgs = [load_image(path) for path in data["paths"]]

@@ -60,6 +60,14 @@ def _exact3_split(a):
     final residual carries <= 8 significant bits, which bf16 represents
     exactly (bf16 shares f32's exponent range, so no underflow).  Verified
     bit-exact on chip (tests/test_pallas_omp.py::test_dk_split3_bit_exact).
+
+    Magnitude precondition: the residual terms drop ~8 bits of exponent
+    each, so entries below ~2^-110 can land `lo` in bf16's subnormal floor
+    (2^-133) and silently break the bitwise guarantee.  Unit-norm atoms
+    satisfy this by orders of magnitude (a (p<=512)-dim unit vector has
+    entries >= 2^-127 only if essentially zero, and exact zeros split
+    exactly); callers feeding non-normalized dictionaries with ~1e-35
+    entries should use dk_mode='hi'.
     """
     hi = a.astype(jnp.bfloat16)
     r1 = a - hi.astype(jnp.float32)

@@ -67,13 +67,15 @@ def ksvd_train_step(X, D, T: int = 8, exact: bool = False,
     return D2, Gamma2
 
 
-def sharded_ksvd_step(mesh: Mesh, T: int = 8, *, model_shard_atoms=False):
+def sharded_ksvd_step(mesh: Mesh, T: int = 8, *, model_shard_atoms=False,
+                      exact: bool = False, svd_iters: int = 3):
     """Compile a ksvd_train_step whose inputs/outputs are mesh-sharded.
 
     X: (p, N) sharded over 'data' on the patch axis.
     D: replicated (or atom-sharded over 'model' when model_shard_atoms —
     the Gram and codes then shard over the atom axis too).
-    Returns a function (X, D) -> (D', Gamma').
+    ``exact``/``svd_iters`` select the rank-1 SVD variant exactly as in
+    ksvd_train_step.  Returns a function (X, D) -> (D', Gamma').
     """
     xs = NamedSharding(mesh, P(None, "data"))
     ds = (
@@ -91,6 +93,6 @@ def sharded_ksvd_step(mesh: Mesh, T: int = 8, *, model_shard_atoms=False):
         out_shardings=(ds, gs),
     )
     def step(X, D):
-        return ksvd_train_step(X, D, T)
+        return ksvd_train_step(X, D, T, exact=exact, svd_iters=svd_iters)
 
     return step

