@@ -45,6 +45,16 @@ class KSVDConfig:
     replace_dead: bool = True
     min_use: int = 1
     max_coherence: float = 0.99
+    # atoms updated per sweep step: 1 = exact sequential Gauss-Seidel
+    # (oracle semantics); B>1 batches B atoms into block GEMMs (Jacobi
+    # within the block — iteration-level tolerance, SURVEY.md §3.2),
+    # cutting sweep time ~B-fold.  See ksvd.ksvd_atom_update.
+    atom_block: int = 1
+    # code-matrix representation during fit: 'dense' (K, N) Gamma,
+    # 'compact' idx/gamma (N, T) triplets (no (K, N) array anywhere —
+    # the huge-N route), or 'auto' (compact when dense Gamma would
+    # exceed ~1 GB).  Compact implies block atom updates (>= 8).
+    codes: str = "auto"
     seed: int = 0
 
 

@@ -211,12 +211,21 @@ class OnlineDictionaryLearner:
         return self
 
     def fit(self, X, n_epochs: int = 1, seed: int = 0,
-            holdout=None) -> "OnlineDictionaryLearner":
+            holdout=None, *, workspace=None, resume: bool = False,
+            checkpoint_every: int = 1) -> "OnlineDictionaryLearner":
         """Stream minibatches of X (p, N) through the chunked device scan.
 
         holdout: optional (p, Nh) fixed signal set; its lasso objective is
         recorded after every chunk in ``history_`` (key
         ``holdout_objective``) — the comparable convergence trace.
+
+        workspace: optional utils.Workspace; the full OnlineDLState plus
+        stream position (epoch, chunk) is checkpointed every
+        ``checkpoint_every`` chunks.  ``resume=True`` reloads the latest
+        checkpoint and continues the IDENTICAL minibatch stream (the
+        per-epoch permutations are replayed from ``seed``), so a
+        preempted config-4-scale run picks up where it stopped
+        (VERDICT r1 missing #4 / next #7).
         """
         X = np.asarray(X, np.float32)
         p, N = X.shape
@@ -226,15 +235,44 @@ class OnlineDictionaryLearner:
         nb_total = N // bs
         if nb_total == 0:
             raise ValueError(f"need >= batch_size={bs} signals, got {N}")
+        n_chunks = (nb_total + cb - 1) // cb
         Xh = None if holdout is None else jnp.asarray(holdout, jnp.float32)
+        start_epoch, start_chunk = 0, 0
+        if resume and workspace is not None:
+            K = cfg.K
+            tmpl = {
+                "D": jnp.zeros((p, K)), "A": jnp.zeros((K, K)),
+                "B": jnp.zeros((p, K)),
+                "step": jnp.zeros((), jnp.int32),
+                "epoch": jnp.zeros((), jnp.int32),
+                "chunk": jnp.zeros((), jnp.int32),
+            }
+            ck_step, st = workspace.load_latest_state(tmpl)
+            if ck_step is not None:
+                self.state = OnlineDLState(
+                    st["D"], st["A"], st["B"], st["step"]
+                )
+                start_epoch = int(st["epoch"])
+                start_chunk = int(st["chunk"]) + 1
+                if start_chunk >= n_chunks:
+                    start_epoch += 1
+                    start_chunk = 0
         rng = np.random.default_rng(seed)
-        for _ in range(n_epochs):
+        # replay the permutation stream up to the resume point so the
+        # continued run sees the identical minibatch order
+        for _ in range(start_epoch):
+            rng.permutation(N)
+        for epoch in range(start_epoch, n_epochs):
             perm = rng.permutation(N)
             if self.state is None:
                 # init from the first minibatch the stream will see, so a
                 # fit() run equals the same-order partial_fit sequence
                 self.state = self._init_state(jnp.asarray(X[:, perm[:bs]]))
+            chunk_i = -1
             for s in range(0, nb_total, cb):
+                chunk_i += 1
+                if epoch == start_epoch and chunk_i < start_chunk:
+                    continue
                 nb = min(cb, nb_total - s)
                 cols = perm[s * bs : (s + nb) * bs]
                 Xc = self._shard_chunk(
@@ -265,6 +303,21 @@ class OnlineDictionaryLearner:
                 self.history_.append(m)
                 if self.verbose:
                     print(f"[online-dl] {m}")
+                if workspace is not None and (
+                    chunk_i % checkpoint_every == 0
+                    or chunk_i == n_chunks - 1
+                ):
+                    workspace.log_metrics(m)
+                    workspace.save_state(
+                        epoch * n_chunks + chunk_i,
+                        {
+                            "D": D, "A": A, "B": B,
+                            "step": jnp.asarray(self.state.step,
+                                                jnp.int32),
+                            "epoch": jnp.asarray(epoch, jnp.int32),
+                            "chunk": jnp.asarray(chunk_i, jnp.int32),
+                        },
+                    )
         return self
 
     @property

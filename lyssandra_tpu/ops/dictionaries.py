@@ -30,6 +30,19 @@ def dct_dictionary(p: int, K: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(D, dtype=dtype)
 
 
+def dct_dictionary_color(
+    p: int, K: int, channels: int = 3, dtype=jnp.float32
+) -> jax.Array:
+    """Channel-replicated DCT baseline for color patches: (C p^2, K).
+
+    Each atom is the grayscale DCT atom stacked C times and renormalized
+    (a 'grayscale' atom in color space — the standard fixed-dictionary
+    baseline; learned color dictionaries come from init='data' K-SVD on
+    (C p^2)-dim patches)."""
+    D = dct_dictionary(p, K, dtype)
+    return jnp.tile(D, (channels, 1)) / np.sqrt(channels)
+
+
 def init_dictionary(
     X: jax.Array, K: int, method: str = "data", seed: int = 0,
     dtype=jnp.float32,
@@ -37,7 +50,15 @@ def init_dictionary(
     """Unit-norm init: 'random' Gaussian, 'data' columns, or 'dct'."""
     if method == "dct":
         p2 = X.shape[0]
-        return dct_dictionary(int(round(np.sqrt(p2))), K, dtype)
+        q = int(round(np.sqrt(p2)))
+        if q * q == p2:
+            return dct_dictionary(q, K, dtype)
+        # color patches: dim = C p^2 -> channel-replicated DCT baseline
+        for C in (3, 4, 2):
+            q = int(round(np.sqrt(p2 / C)))
+            if C * q * q == p2:
+                return dct_dictionary_color(q, K, C, dtype)
+        raise ValueError(f"signal dim {p2} is not p^2 or C*p^2")
     key = jax.random.PRNGKey(seed)
     p, N = X.shape
     if method == "random":
@@ -76,15 +97,23 @@ def replace_unused_atoms(
     worst-reconstructed signals, renormalized.
 
     Semantics follow oracle.replace_unused_atoms: bad atoms (in index order)
-    take successive signals from the worst-reconstruction ranking.  Coherence
-    is evaluated against the *input* dictionary (one pass, not re-evaluated
-    after each single replacement — replacements are near-orthogonal data
-    signals, and tests compare at this tolerance).
+    take successive signals from the worst-reconstruction ranking.  The
+    coherence flag uses the UPPER triangle only (atom k is bad if it is
+    >max_coherence-coherent with some LATER atom): the oracle's sequential
+    loop replaces the first-visited member of a coherent pair and then
+    re-evaluates, so the later member is kept — the one-pass both-members
+    flag the r1-r3 code used caused permanent replacement churn on data
+    with duplicated patches (each iteration re-inserts duplicate worst
+    signals, flags both, replaces both, forever — caught at the N=1e6
+    scale, r4).
     """
     err = ((X - D @ Gamma) ** 2).sum(axis=0)
-    order = jnp.argsort(-err)
+    # only the K worst signals can be consumed (rank < K below): top_k
+    # avoids a full argsort over N, slow on the TPU's vector unit
+    _, order = jax.lax.top_k(err, min(D.shape[1], err.shape[0]))
     use = (jnp.abs(Gamma) > 0).sum(axis=1)
-    G = jnp.abs(D.T @ D) - jnp.eye(D.shape[1])
+    K = D.shape[1]
+    G = jnp.abs(D.T @ D) * jnp.triu(jnp.ones((K, K), D.dtype), k=1)
     bad = (use < min_use) | (G.max(axis=1) > max_coherence)
     # bad atom ranked r (in atom-index order) takes worst signal r
     rank = jnp.cumsum(bad) - 1

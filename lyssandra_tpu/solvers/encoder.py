@@ -130,19 +130,46 @@ class SparseEncoder:
         ndev = self.mesh.shape["data"]
         if Xb.shape[1] % ndev != 0:
             return solver(D, self._shard(Xb), **kw)
+        if kw.get("dense", True):
+            out_specs = P(None, "data")             # Gamma (K, N)
+        else:
+            from lyssandra_tpu.solvers.greedy import GreedyResult
+
+            # GreedyResult arrays are lane-major: (N, T) idx/gamma,
+            # (N,) err/nsel
+            out_specs = GreedyResult(
+                P("data", None), P("data", None), P("data"), P("data")
+            )
         fn = jax.shard_map(
             lambda d, x: solver(d, x, **kw),
             mesh=self.mesh,
             in_specs=(P(), P(None, "data")),
-            out_specs=P(None, "data"),
+            out_specs=out_specs,
             check_vma=False,
         )
         return fn(D, self._shard(Xb))
 
+    # greedy routes whose solvers return a compact GreedyResult when
+    # asked — the sparse code-matrix output of the reference's
+    # sparse_encoder (SURVEY.md §2.1) without the (K, N) densify
+    _COMPACT = ("bomp", "batch_omp", "omp", "nn_omp")
+
     # -- public API --------------------------------------------------------
 
-    def encode(self, X, D) -> jax.Array:
-        """Return dense code matrix Gamma in R^{K x N} for X in R^{p x N}."""
+    def encode(self, X, D, *, dense: bool = True):
+        """Encode X (p, N) over D (p, K).
+
+        dense=True: dense code matrix Gamma (K, N).
+        dense=False (greedy routes only): compact GreedyResult with
+        idx/gamma (N, T) — at K=1024, N=1e6, T=8 the dense scatter is
+        4 GB of HBM for <= 8 nonzeros per column, so the compact form is
+        what huge-N coding and the CSC export ride (VERDICT r1 #5).
+        """
+        if not dense and self.algorithm not in self._COMPACT:
+            raise ValueError(
+                f"dense=False needs a greedy route {self._COMPACT}, "
+                f"got {self.algorithm!r}"
+            )
         D = jnp.asarray(D, jnp.float32)
         if self.check_atoms:
             nrm = jnp.linalg.norm(D, axis=0)
@@ -155,6 +182,8 @@ class SparseEncoder:
         N = X.shape[1]
         solver = self._solver()
         kw = self._solver_kwargs()
+        if not dense:
+            kw["dense"] = False
 
         call = (
             (lambda Xb: self._sharded_call(solver, kw, D, Xb))
@@ -174,6 +203,11 @@ class SparseEncoder:
                 Xp, b * self.block, self.block, 1
             )
             outs.append(call(Xb))
+        if not dense:
+            from lyssandra_tpu.solvers.greedy import GreedyResult
+
+            res = GreedyResult.concatenate(outs)
+            return GreedyResult(*(a[:N] for a in res))
         Gamma = jnp.concatenate(outs, axis=1)
         return Gamma[:, :N]
 

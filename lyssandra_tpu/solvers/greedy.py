@@ -59,6 +59,33 @@ class GreedyResult(NamedTuple):
         )
         return C.T
 
+    def to_csc(self, K: int):
+        """scipy.sparse CSC matrix (K, N) — the reference's sparse code-
+        matrix output format (SURVEY.md §2.1 sparse_encoder 'returns dense
+        or sparse code matrix') without ever materializing (K, N) dense:
+        at K=1024, N=1e6, T=8 that is 64 MB of triplets vs 4 GB dense."""
+        import numpy as np
+        from scipy import sparse
+
+        idx = np.asarray(self.idx)
+        gamma = np.asarray(self.gamma)
+        N, T = idx.shape
+        valid = np.arange(T)[None, :] < np.asarray(self.nsel)[:, None]
+        cols = np.repeat(np.arange(N), T)[valid.ravel()]
+        rows = idx.ravel()[valid.ravel()]
+        vals = gamma.ravel()[valid.ravel()]
+        return sparse.csc_matrix(
+            (vals, (rows, cols)), shape=(K, N)
+        )
+
+    @staticmethod
+    def concatenate(results: "list[GreedyResult]") -> "GreedyResult":
+        """Stack per-block results along the signal axis."""
+        return GreedyResult(*(
+            jnp.concatenate([getattr(r, f) for r in results], axis=0)
+            for f in GreedyResult._fields
+        ))
+
 
 def _append_cholesky_inv(Linv, g, t):
     """Append one row to the progressive inverse-Cholesky factor.

@@ -56,6 +56,43 @@ def test_every_encoder_route_runs(tiny, alg, params):
     assert np.abs(G).sum() > 0
 
 
+@pytest.mark.parametrize("alg", ["bomp", "omp", "nn_omp"])
+def test_encoder_compact_output(tiny, alg):
+    # dense=False returns compact GreedyResult; its dense/CSC exports
+    # match the dense route exactly (same solver, same codes)
+    D, X, _ = tiny
+    enc = lt.SparseEncoder(alg, {"T": 3}, check_atoms=False, block=16)
+    res = enc.encode(X, D, dense=False)
+    assert res.idx.shape == (48, 3) and res.gamma.shape == (48, 3)
+    dense = np.asarray(enc.encode(X, D))
+    np.testing.assert_allclose(np.asarray(res.dense(32)), dense, atol=1e-6)
+    np.testing.assert_allclose(res.to_csc(32).toarray(), dense, atol=1e-6)
+
+
+def test_encoder_compact_rejects_nongreedy(tiny):
+    D, X, _ = tiny
+    with pytest.raises(ValueError, match="dense=False"):
+        lt.SparseEncoder("fista", {"lam": 0.2}, check_atoms=False).encode(
+            X, D, dense=False
+        )
+
+
+def test_encoder_compact_with_mesh(tiny):
+    from lyssandra_tpu.parallel import make_mesh
+
+    D, X, _ = tiny
+    mesh = make_mesh()
+    res = lt.SparseEncoder(
+        "bomp", {"T": 3}, check_atoms=False, mesh=mesh
+    ).encode(X, D, dense=False)
+    ref = lt.SparseEncoder("bomp", {"T": 3}, check_atoms=False).encode(
+        X, D, dense=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.dense(32)), np.asarray(ref.dense(32)), atol=2e-5
+    )
+
+
 def test_solver_functions_run(tiny):
     D, X, _ = tiny
     for fn, kw in [

@@ -62,6 +62,130 @@ def test_atom_update_preserves_support(rng):
     )
 
 
+def test_atom_update_block_b1_matches_sequential_oracle(rng):
+    # the residual-form sweep at atom_block=1 is mathematically the same
+    # Gauss-Seidel recursion as the oracle (different fp expression only)
+    D, X, _ = make_problem(rng, p=16, K=24, N=120, T=3)
+    Gamma = oracle.batch_omp(D, X, 3)
+    Dr, Gr = oracle.ksvd_atom_update(X, D, Gamma, exact=False)
+    Dj, Gj = ksvd_atom_update(
+        jnp.asarray(X, jnp.float32), jnp.asarray(D, jnp.float32),
+        jnp.asarray(Gamma, jnp.float32), exact=False, atom_block=1,
+    )
+    np.testing.assert_allclose(np.asarray(Dj), Dr, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Gj), Gr, atol=2e-3)
+
+
+def test_atom_update_block_decreases_objective(rng):
+    # Jacobi-within-block: not bitwise Gauss-Seidel, but each sweep must
+    # still descend the objective and preserve supports/norms
+    D, X, _ = make_problem(rng, p=16, K=32, N=400, T=4)
+    Gamma = oracle.batch_omp(D, X, 4)
+    err0 = np.linalg.norm(X - D @ Gamma) ** 2
+    for B in (4, 8, 16):
+        Dj, Gj = ksvd_atom_update(
+            jnp.asarray(X, jnp.float32), jnp.asarray(D, jnp.float32),
+            jnp.asarray(Gamma, jnp.float32), atom_block=B,
+        )
+        err = float(np.linalg.norm(
+            X - np.asarray(Dj, np.float64) @ np.asarray(Gj, np.float64)
+        ) ** 2)
+        assert err < err0, (B, err, err0)
+        assert (np.asarray(Gj)[Gamma == 0] == 0).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(Dj), axis=0), 1.0, atol=1e-4
+        )
+
+
+def test_atom_update_block_close_to_sequential(rng):
+    # iteration-level tolerance (SURVEY.md §3.2): the block sweep's
+    # objective lands within a small relative margin of sequential's
+    D, X, _ = make_problem(rng, p=16, K=32, N=400, T=4)
+    Gamma = oracle.batch_omp(D, X, 4)
+
+    def sweep_err(B):
+        Dj, Gj = ksvd_atom_update(
+            jnp.asarray(X, jnp.float32), jnp.asarray(D, jnp.float32),
+            jnp.asarray(Gamma, jnp.float32), atom_block=B,
+        )
+        return float(np.linalg.norm(
+            X - np.asarray(Dj, np.float64) @ np.asarray(Gj, np.float64)
+        ) ** 2)
+
+    seq = sweep_err(1)
+    blk = sweep_err(8)
+    assert abs(blk - seq) < 0.05 * seq, (blk, seq)
+
+
+def test_ksvd_learner_block_converges_like_sequential(rng):
+    # full fits: block-sweep learner reaches the sequential learner's
+    # objective within 2% after the same number of iterations
+    D, X, _ = make_problem(rng, p=16, K=24, N=300, T=3)
+    Xf = np.asarray(X, np.float32)
+    base = KSVDConfig(K=24, T=3, n_iter=5, replace_dead=False, seed=0)
+    a = KSVDLearner(base).fit(Xf)
+    import dataclasses
+
+    b = KSVDLearner(dataclasses.replace(base, atom_block=8)).fit(Xf)
+    oa = a.history_[-1]["objective"]
+    ob = b.history_[-1]["objective"]
+    assert ob < oa * 1.02, (ob, oa)
+    # and each history is (near-)monotone
+    objs = [h["objective"] for h in b.history_]
+    assert all(objs[i + 1] <= objs[i] * 1.01 for i in range(len(objs) - 1))
+
+
+def test_atom_update_compact_matches_dense_block(rng):
+    # the compact sweep is the dense block sweep with Gamma's block rows
+    # materialized from triplets — same math, near-identical results
+    from lyssandra_tpu.dict_learning import ksvd_atom_update_compact
+    from lyssandra_tpu.solvers import batch_omp
+
+    D, X, _ = make_problem(rng, p=16, K=24, N=200, T=4, dtype=np.float32)
+    Dj, Xj = jnp.asarray(D), jnp.asarray(X)
+    res = batch_omp(Dj, Xj, 4, dense=False)
+    Gamma = res.dense(24)
+    Dd, Gd = ksvd_atom_update(Xj, Dj, Gamma, atom_block=8)
+    Dc, gc, nusers = ksvd_atom_update_compact(
+        Xj, Dj, res.idx, res.gamma, atom_block=8
+    )
+    np.testing.assert_allclose(np.asarray(Dc), np.asarray(Dd), atol=2e-5)
+    # per-atom user counts match the dense support
+    np.testing.assert_array_equal(
+        np.asarray(nusers), (np.abs(np.asarray(Gamma)) > 0).sum(axis=1)
+    )
+    # reassemble dense from the updated compact codes
+    from lyssandra_tpu.solvers.greedy import GreedyResult
+
+    Gc = GreedyResult(res.idx, gc, res.err, res.nsel).dense(24)
+    np.testing.assert_allclose(np.asarray(Gc), np.asarray(Gd), atol=2e-4)
+
+
+def test_ksvd_learner_compact_codes(rng):
+    # compact-codes fit: no dense Gamma anywhere, same convergence
+    import dataclasses
+
+    D, X, _ = make_problem(rng, p=16, K=24, N=300, T=3)
+    Xf = np.asarray(X, np.float32)
+    dense_cfg = KSVDConfig(K=24, T=3, n_iter=4, replace_dead=True,
+                           atom_block=8, seed=0, codes="dense")
+    a = KSVDLearner(dense_cfg).fit(Xf)
+    b = KSVDLearner(
+        dataclasses.replace(dense_cfg, codes="compact")
+    ).fit(Xf)
+    from lyssandra_tpu.solvers.greedy import GreedyResult
+
+    assert isinstance(b.Gamma_, GreedyResult)
+    oa = a.history_[-1]["objective"]
+    ob = b.history_[-1]["objective"]
+    assert abs(ob - oa) < 0.05 * oa, (ob, oa)
+    # CSC export round-trips against the dense scatter
+    csc = b.Gamma_.to_csc(24)
+    np.testing.assert_allclose(
+        csc.toarray(), np.asarray(b.Gamma_.dense(24)), atol=1e-6
+    )
+
+
 def test_ksvd_learner_objective_decreases(rng):
     D, X, _ = make_problem(rng, p=16, K=24, N=300, T=3)
     cfg = KSVDConfig(K=24, T=3, n_iter=5, init="data", exact_svd=False,
@@ -97,6 +221,48 @@ def test_ksvd_dead_atom_replacement(rng):
     cfg = KSVDConfig(K=24, T=3, n_iter=3, replace_dead=True, seed=0)
     learner = KSVDLearner(cfg).fit(np.asarray(X, np.float32))
     assert all("atoms_replaced" in h for h in learner.history_)
+
+
+def test_replace_coherent_keeps_one_of_pair(rng):
+    # oracle semantics: the sequential loop replaces the lower-indexed
+    # member of a coherent pair and keeps the other (re-evaluation after
+    # each replacement); the vectorized one-pass must match via the
+    # upper-triangle flag — flagging BOTH caused permanent replacement
+    # churn on duplicated data (r4, N=1e6)
+    from lyssandra_tpu import oracle
+    from lyssandra_tpu.ops.dictionaries import replace_unused_atoms
+
+    D, X, _ = make_problem(rng, p=16, K=24, N=200, T=3)
+    D[:, 7] = D[:, 3]                  # coherent pair (3, 7)
+    D[:, 15] = -D[:, 12]               # anti-coherent pair (12, 15)
+    Gamma = oracle.batch_omp(D, X, 3)
+    # min_use=0 isolates the coherence rule (exact-duplicate atoms are
+    # never selected by OMP, so the dead rule would flag them all anyway)
+    Dr = oracle.replace_unused_atoms(X, D, Gamma, min_use=0)
+    Dj, bad = replace_unused_atoms(
+        jnp.asarray(X, jnp.float32), jnp.asarray(D, jnp.float32),
+        jnp.asarray(Gamma, jnp.float32), min_use=0, return_mask=True,
+    )
+    bad = np.asarray(bad)
+    ref_replaced = np.abs(Dr - D).max(axis=0) > 1e-9
+    np.testing.assert_array_equal(bad, ref_replaced)
+    assert bad[3] and not bad[7]
+    assert bad[12] and not bad[15]
+
+
+def test_replacement_settles_on_duplicated_data(rng):
+    # duplicated training patches (every signal sampled twice) must not
+    # keep the replacement policy churning forever
+    import dataclasses
+
+    D, X, _ = make_problem(rng, p=16, K=32, N=150, T=3)
+    Xdup = np.concatenate([X, X], axis=1).astype(np.float32)
+    cfg = KSVDConfig(K=32, T=3, n_iter=6, replace_dead=True, seed=0)
+    l = KSVDLearner(cfg).fit(Xdup)
+    reps = [h["atoms_replaced"] for h in l.history_]
+    objs = [h["objective"] for h in l.history_]
+    assert reps[-1] <= max(2, reps[0] // 4), reps
+    assert all(objs[i + 1] <= objs[i] * 1.01 for i in range(len(objs) - 1))
 
 
 def test_online_dl_step_matches_oracle(rng):
@@ -183,6 +349,56 @@ def test_online_fit_holdout_objective_decreases(rng):
     )
     trace = [h["holdout_objective"] for h in learner.history_]
     assert trace[-1] < trace[0]
+
+
+def test_online_dl_kill_and_resume(rng, tmp_path):
+    # VERDICT r1 #7: a preempted online-DL fit resumes mid-stream and the
+    # holdout trace continues identically to an uninterrupted run
+    from lyssandra_tpu.utils import Workspace
+    import lyssandra_tpu.dict_learning.online as online_mod
+
+    D, X, _ = make_problem(rng, p=16, K=24, N=384, T=3)
+    Xf = np.asarray(X, np.float32)
+    hold = Xf[:, :64]
+    cfg = OnlineDLConfig(K=24, lam=0.15, batch_size=64, chunk_batches=2,
+                         seed=0)
+
+    a = OnlineDictionaryLearner(cfg).fit(Xf, n_epochs=2, seed=5,
+                                         holdout=hold)
+    trace_a = [h["holdout_objective"] for h in a.history_]
+
+    # interrupted run: the chunk executor raises after 3 chunks (a kill)
+    ws = Workspace(str(tmp_path / "odl"))
+    b = OnlineDictionaryLearner(cfg)
+    real_chunk = online_mod._online_chunk
+    calls = {"n": 0}
+
+    def dying_chunk(*args, **kw):
+        if calls["n"] >= 3:
+            raise KeyboardInterrupt("simulated preemption")
+        calls["n"] += 1
+        return real_chunk(*args, **kw)
+
+    online_mod._online_chunk = dying_chunk
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            b.fit(Xf, n_epochs=2, seed=5, holdout=hold, workspace=ws)
+    finally:
+        online_mod._online_chunk = real_chunk
+
+    # fresh learner resumes from the checkpoint and finishes the stream
+    c = OnlineDictionaryLearner(cfg)
+    c.fit(Xf, n_epochs=2, seed=5, holdout=hold, workspace=ws,
+          resume=True)
+    trace_bc = (
+        [h["holdout_objective"] for h in b.history_]
+        + [h["holdout_objective"] for h in c.history_]
+    )
+    assert len(trace_bc) == len(trace_a)
+    np.testing.assert_allclose(trace_bc, trace_a, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(c.D_), np.asarray(a.D_), atol=2e-4
+    )
 
 
 def test_ksvd_checkpoint_resume(rng, tmp_path):
