@@ -14,6 +14,8 @@ blocks so every block reuses one compiled executable.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -91,9 +93,17 @@ class Denoiser:
         p = cfg.patch
         noisy = jnp.asarray(noisy, jnp.float32)
 
-        # fused Pallas extract+DC on TPU; XLA ops elsewhere
-        Xc, means, _ = fused_patch_pipeline(noisy, p, do_dc=True)
-        eps = cfg.gain * p * sigma
+        if noisy.ndim == 3:
+            # color: C p^2-dim channel-stacked patches over a (C p^2, K)
+            # dictionary — the solver path is channel-agnostic, only the
+            # patch pipeline and the eps target (sqrt(dim) sigma) change
+            from lyssandra_tpu.ops.patches import extract_patches, remove_dc
+
+            Xc, means = remove_dc(extract_patches(noisy, p))
+        else:
+            # fused Pallas extract+DC on TPU; XLA ops elsewhere
+            Xc, means, _ = fused_patch_pipeline(noisy, p, do_dc=True)
+        eps = cfg.gain * math.sqrt(Xc.shape[0]) * sigma
         Gamma = self._eps_codes(Xc, eps)
         Xhat = self.D @ Gamma + means[None, :]
         lam_w = cfg.lam / max(sigma, 1e-12)
@@ -123,10 +133,13 @@ def denoise_adaptive(
     from lyssandra_tpu.utils.datasets import patch_dataset
 
     cfg = cfg or DenoiseConfig(sigma=sigma)
-    eps = cfg.gain * cfg.patch * float(sigma)
+    noisy_np = np.asarray(noisy, np.float64)
+    dim = cfg.patch * cfg.patch * (
+        noisy_np.shape[2] if noisy_np.ndim == 3 else 1
+    )
+    eps = cfg.gain * math.sqrt(dim) * float(sigma)
     train = patch_dataset(
-        [np.asarray(noisy, np.float64)], p=cfg.patch,
-        n_patches=n_train, seed=3,
+        [noisy_np], p=cfg.patch, n_patches=n_train, seed=3,
     ).astype(np.float32)
     enc = SparseEncoder("bomp", {"T": cfg.T_max, "eps": eps},
                         check_atoms=False, mesh=mesh)

@@ -9,6 +9,7 @@ from lyssandra_tpu.ops.patches import (
 )
 from lyssandra_tpu.ops.dictionaries import (
     dct_dictionary,
+    dct_dictionary_color,
     init_dictionary,
     normalize_atoms,
     mutual_coherence,

@@ -29,7 +29,19 @@ def n_patches(H: int, W: int, p: int, stride: int = 1) -> tuple[int, int]:
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def extract_patches(img: jax.Array, p: int, stride: int = 1) -> jax.Array:
-    """All p x p patches at the given stride, as columns of X in R^{p^2 x N}."""
+    """All p x p patches at the given stride, as columns of X.
+
+    Grayscale (H, W) -> (p^2, N); color (H, W, C) -> (C p^2, N) with
+    channels stacked as leading row blocks [ch0 p^2; ch1 p^2; ...] (the
+    color-K-SVD layout: a color patch is one 3p^2 vector, so solvers and
+    dictionaries are channel-agnostic).  Matches oracle.extract_patches.
+    """
+    if img.ndim == 3:
+        return jnp.concatenate(
+            [extract_patches(img[..., c], p, stride)
+             for c in range(img.shape[2])],
+            axis=0,
+        )
     H, W = img.shape
     out = lax.conv_general_dilated_patches(
         img[None, None].astype(jnp.float32),
@@ -49,8 +61,20 @@ def fold_patches(
 
     ``acc[i*s+a, j*s+b] += X[a*p+b, i*W'+j]`` for every patch position (i, j)
     and in-patch offset (a, b).  Implemented as p*p static interior-dilated
-    pads — fully fusable, no scatters.
+    pads — fully fusable, no scatters.  A 3-tuple shape (H, W, C) folds the
+    C channel row-blocks of X into an (H, W, C) image (count shared).
     """
+    if len(shape) == 3:
+        H, W, C = shape
+        rows = X.shape[0] // C
+        accs = []
+        cnt = None
+        for c in range(C):
+            acc_c, cnt = fold_patches(
+                X[c * rows : (c + 1) * rows], (H, W), p, stride
+            )
+            accs.append(acc_c)
+        return jnp.stack(accs, axis=-1), cnt[..., None]
     H, W = shape
     Hp, Wp = n_patches(H, W, p, stride)
     V = X.reshape(p, p, Hp, Wp)
@@ -82,7 +106,8 @@ def fold_patches(
 def reconstruct_from_patches(
     X: jax.Array, shape: tuple[int, int], p: int, stride: int = 1
 ) -> jax.Array:
-    """Plain overlap-add average (inverse of extract_patches)."""
+    """Plain overlap-add average (inverse of extract_patches);
+    shape may be (H, W) or (H, W, C)."""
     acc, cnt = fold_patches(X, shape, p, stride)
     return acc / jnp.maximum(cnt, 1.0)
 
@@ -91,7 +116,8 @@ def reconstruct_from_patches(
 def weighted_reconstruct(
     X: jax.Array, y: jax.Array, p: int, lam: float | jax.Array, stride: int = 1
 ) -> jax.Array:
-    """Elad-Aharon denoising blend ``(lam*y + sum R^T x_hat) / (lam + counts)``."""
+    """Elad-Aharon denoising blend ``(lam*y + sum R^T x_hat) / (lam + counts)``
+    (grayscale or color y)."""
     acc, cnt = fold_patches(X, y.shape, p, stride)
     return (lam * y + acc) / (lam + cnt)
 

@@ -37,8 +37,15 @@ def extract_patches(img: np.ndarray, p: int, stride: int = 1) -> np.ndarray:
     """All p x p patches at the given stride, as columns of X in R^{p^2 x N}.
 
     Patches are taken row-major over valid top-left positions; each patch is
-    flattened row-major (C order).
+    flattened row-major (C order).  A color image (H, W, C) yields
+    (C p^2, N) columns with channels stacked as leading row blocks.
     """
+    if img.ndim == 3:
+        return np.concatenate(
+            [extract_patches(img[..., c], p, stride)
+             for c in range(img.shape[2])],
+            axis=0,
+        )
     H, W = img.shape
     rows = range(0, H - p + 1, stride)
     cols = range(0, W - p + 1, stride)
@@ -60,7 +67,21 @@ def reconstruct_from_patches(
     With ``y``/``lam`` given, computes the Elad-Aharon 2006 denoising blend
     ``(lam*I + sum R^T R)^{-1} (lam*y + sum R^T x_hat)`` — a per-pixel
     weighted average of the noisy image and the overlapping reconstructions.
+    A 3-tuple shape (H, W, C) folds C channel row-blocks of X.
     """
+    if len(shape) == 3:
+        H, W, C = shape
+        rows = X.shape[0] // C
+        return np.stack(
+            [
+                reconstruct_from_patches(
+                    X[c * rows : (c + 1) * rows], (H, W), p, stride,
+                    y=None if y is None else y[..., c], lam=lam,
+                )
+                for c in range(C)
+            ],
+            axis=-1,
+        )
     H, W = shape
     acc = np.zeros((H, W), dtype=np.float64)
     cnt = np.zeros((H, W), dtype=np.float64)
@@ -695,11 +716,13 @@ def denoise(
 ) -> np.ndarray:
     """Elad-Aharon 2006 patch denoising with error-constrained Batch-OMP.
 
-    eps = gain * p * sigma (residual norm target per patch: gain*sqrt(p^2)*sigma).
+    eps = gain * sqrt(dim) * sigma (residual norm target per patch;
+    dim = p^2 grayscale, C p^2 color — a color image (H, W, C) is denoised
+    by coding C p^2-dim color patches over a (C p^2, K) dictionary).
     """
     X = extract_patches(noisy, p)
     Xc, means = remove_dc(X)
-    eps = gain * p * sigma
+    eps = gain * float(np.sqrt(X.shape[0])) * sigma
     Gamma = batch_omp(D, Xc, T_max, eps=eps)
     Xhat = D @ Gamma + means[None, :]
     lam_w = lam / max(sigma, 1e-12)

@@ -3,6 +3,7 @@ from lyssandra_tpu.utils.datasets import (
     load_image,
     load_image_folders,
     synthetic_image,
+    synthetic_color_image,
     standard_test_image,
     patch_dataset,
 )

@@ -55,6 +55,36 @@ def test_weighted_reconstruct_matches_oracle(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_extract_color_matches_oracle(rng):
+    img = rng.standard_normal((24, 20, 3))
+    ref = oracle.extract_patches(img, 8)
+    out = np.asarray(extract_patches(img, 8))
+    assert out.shape == (3 * 64, 17 * 13)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_fold_color_roundtrip_and_oracle(rng):
+    img = rng.standard_normal((24, 20, 3)).astype(np.float32)
+    X = extract_patches(img, 8)
+    rec = np.asarray(reconstruct_from_patches(X, img.shape, 8))
+    np.testing.assert_allclose(rec, img, atol=1e-5)
+    ref = oracle.reconstruct_from_patches(
+        np.asarray(X, np.float64), img.shape, 8
+    )
+    np.testing.assert_allclose(rec, ref, atol=1e-5)
+
+
+def test_weighted_reconstruct_color_matches_oracle(rng):
+    y = rng.standard_normal((20, 24, 3))
+    X = rng.standard_normal((3 * 36, 15 * 19))
+    lam = 0.7
+    ref = oracle.reconstruct_from_patches(X, y.shape, 6, y=y, lam=lam)
+    out = np.asarray(weighted_reconstruct(
+        X.astype(np.float32), y.astype(np.float32), 6, lam
+    ))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_dc_contrast_match_oracle(rng):
     X = rng.standard_normal((64, 200))
     rc, rmu = oracle.remove_dc(X)

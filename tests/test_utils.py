@@ -84,6 +84,41 @@ def test_timed_sync():
     assert dt > 0
 
 
+def test_synthetic_color_image_and_patches(rng):
+    from lyssandra_tpu.ops import extract_patches
+    from lyssandra_tpu.utils import patch_dataset, synthetic_color_image
+
+    img = synthetic_color_image("texture", 48, seed=1)
+    assert img.shape == (48, 48, 3)
+    assert img.min() >= 0.0 and img.max() <= 255.0
+    # deterministic across calls
+    np.testing.assert_array_equal(
+        img, synthetic_color_image("texture", 48, seed=1)
+    )
+    # channels correlated (shared luminance), not identical
+    c = np.corrcoef(img[..., 0].ravel(), img[..., 1].ravel())[0, 1]
+    assert 0.5 < c < 0.9999, c
+    # patch_dataset layout matches extract_patches channel-major blocks
+    X = patch_dataset([img], p=8, n_patches=50, seed=0, remove_dc=False)
+    assert X.shape == (192, 50)
+    Xall = np.asarray(extract_patches(jnp.asarray(img, jnp.float32), 8))
+    # the sampled patch at (i, j) equals the extracted column at that pos
+    r = np.random.default_rng(0)
+    ii = r.integers(0, 41, 50 // 1 + 1)
+    jj = r.integers(0, 41, 50 // 1 + 1)
+    col = ii[0] * 41 + jj[0]
+    np.testing.assert_allclose(X[:, 0], Xall[:, col], atol=1e-4)
+
+
+def test_standard_test_image_color():
+    from lyssandra_tpu.utils import standard_test_image
+
+    img = standard_test_image("barbara", 64, color=True)
+    assert img.shape == (64, 64, 3)
+    gray = standard_test_image("barbara", 64)
+    assert gray.shape == (64, 64)
+
+
 def test_load_image_folders(tmp_path):
     # class-per-subdirectory layout (the reference's recognition datasets)
     import numpy as np
