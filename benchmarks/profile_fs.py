@@ -1,0 +1,212 @@
+"""Per-phase decomposition of feature-sign search at the config-4 shape.
+
+    python -m benchmarks.profile_fs [--quick]
+
+VERDICT r1 #4: feature-sign ran at 1.47k patches/s (vs greedy's 4400x
+oracle) with no committed profile.  This measures, at the config-4
+operating point (p=192 color patches, K=1024, lam=0.15, unit-norm):
+
+  1. phase probes at operating shapes (4096 lanes, A=64): the full-K
+     gradient matmuls, the Dact gather + active Gram build, one
+     warm-started CG solve, one line-search step;
+  2. the convergence profile: per-16-iteration-segment done counts and
+     wall time (the straggler-idle evidence: a segment's cost is ~flat
+     in the done fraction because frozen lanes still compute);
+  3. the 32k-lane probe A/B: compact_stragglers on vs off through the
+     encoder route (4096-lane blocks), plus objective identity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
+
+LAM = 0.15
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.sum(x)))
+
+
+def _best_of(fn, reps=3):
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _color_patches(n, seed=1):
+    from lyssandra_tpu.utils import patch_dataset, synthetic_color_image
+
+    imgs = [synthetic_color_image(k, 256, seed=s)
+            for s, k in enumerate(("texture", "mix", "smooth", "edges"))]
+    X = patch_dataset(imgs, p=8, n_patches=n, seed=seed).astype(np.float32)
+    X /= np.maximum(np.linalg.norm(X, axis=0, keepdims=True), 1e-8)
+    return X
+
+
+def main(quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from lyssandra_tpu.ops.dictionaries import init_dictionary
+    from lyssandra_tpu.solvers.encoder import SparseEncoder
+    from lyssandra_tpu.solvers.lasso import (
+        _feature_sign_impl, _fs_init, feature_sign,
+    )
+
+    N_probe = 8192 if quick else 32768
+    Nb = 4096
+    A = 64
+    out = {"shape": dict(p=192, K=1024, lam=LAM, lanes_probe=N_probe,
+                         block=Nb), "device": str(jax.devices()[0])}
+
+    X = _color_patches(N_probe)
+    K = 1024
+    D = np.asarray(init_dictionary(jnp.asarray(X), K, "data", 0))
+    Dj = jnp.asarray(D)
+    Xb = jnp.asarray(X[:, :Nb])
+
+    # ---- 1. phase probes at (Nb, A) shapes -----------------------------
+    Dt, Xt = Dj.T, Xb.T
+    A0 = jnp.matmul(Xb.T, Dj, precision=jax.lax.Precision.HIGHEST)
+    _sync(A0)
+
+    @jax.jit
+    def grad_probe(g_full):
+        R = jnp.matmul(g_full, Dt, precision=jax.lax.Precision.HIGHEST) - Xt
+        return 2.0 * jnp.matmul(R, Dt.T,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    rng = np.random.default_rng(0)
+    g_full = jnp.asarray(rng.standard_normal((Nb, K)) * 0.01, jnp.float32)
+    _sync(grad_probe(g_full))
+    out["phase_grad_full_ms"] = 1e3 * _best_of(
+        lambda: _sync(grad_probe(g_full))
+    )
+
+    idx = jnp.asarray(rng.integers(0, K, (Nb, A)), jnp.int32)
+
+    @jax.jit
+    def gather_gram_probe(idx):
+        Dact = jnp.take(Dt, idx, axis=0)
+        M = jnp.einsum("nap,nbp->nab", Dact, Dact,
+                       precision=jax.lax.Precision.HIGHEST)
+        return M
+
+    _sync(gather_gram_probe(idx))
+    out["phase_gather_gram_ms"] = 1e3 * _best_of(
+        lambda: _sync(gather_gram_probe(idx))
+    )
+
+    M = gather_gram_probe(idx)
+    rhs = jnp.asarray(rng.standard_normal((Nb, A)), jnp.float32)
+
+    @jax.jit
+    def cg_probe(M, rhs):
+        def op(v):
+            return jnp.einsum("nab,nb->na", M, v,
+                              precision=jax.lax.Precision.HIGHEST) + 1e-6 * v
+
+        x = jnp.zeros_like(rhs)
+        r = rhs - op(x)
+        pv, rs = r, jnp.sum(r * r, axis=1)
+        for _ in range(8):                      # 8 matvecs, warm-start regime
+            Mp = op(pv)
+            al = rs / (jnp.sum(pv * Mp, axis=1) + 1e-30)
+            x = x + al[:, None] * pv
+            r = r - al[:, None] * Mp
+            rs2 = jnp.sum(r * r, axis=1)
+            pv = r + (rs2 / (rs + 1e-30))[:, None] * pv
+            rs = rs2
+        return x
+
+    _sync(cg_probe(M, rhs))
+    out["phase_cg8_ms"] = 1e3 * _best_of(lambda: _sync(cg_probe(M, rhs)))
+
+    @jax.jit
+    def linesearch_probe(M, gact, gnew):
+        diff = gnew - gact
+        ts = jnp.linspace(0.0, 1.0, A + 1)[None, :].repeat(Nb, 0)
+        gt = gact[:, None, :] + ts[..., None] * diff[:, None, :]
+        Mg = jnp.einsum("nab,ncb->nca", M, gt,
+                        precision=jax.lax.Precision.HIGHEST)
+        quad = jnp.sum(gt * Mg, axis=2)
+        return jnp.argmin(quad, axis=1)
+
+    gact = rhs
+    gnew = rhs * 0.7
+    _sync(linesearch_probe(M, gact, gnew))
+    out["phase_linesearch_ms"] = 1e3 * _best_of(
+        lambda: _sync(linesearch_probe(M, gact, gnew))
+    )
+
+    # ---- 2. convergence profile: per-segment done counts + time --------
+    state = _fs_init(A0, LAM, A)
+    segs = []
+    for s in range(7):
+        t0 = time.perf_counter()
+        state, res = _feature_sign_impl(
+            Dt, Xt, A0, LAM, state, max_active=A, max_iter=16,
+            max_inner=20,
+        )
+        nd = int(np.asarray(jnp.sum(state[5])))   # sync + count
+        segs.append({
+            "segment": s, "seconds": round(time.perf_counter() - t0, 4),
+            "done": nd, "frac_done": round(nd / Nb, 4),
+        })
+        if nd == Nb:
+            break
+    out["segments_block4096"] = segs
+
+    # ---- 3. 32k probe: compaction A/B through the encoder route --------
+    def run(compact):
+        enc = SparseEncoder("lasso", {"lam": LAM,
+                                      "compact_stragglers": compact},
+                            check_atoms=False)
+        G = enc.encode(X, D)
+        _sync(G)
+        return G
+
+    for compact in (False, True):
+        run(compact)                                  # warm/compile
+        t = _best_of(lambda: run(compact), reps=2)
+        G = run(compact)
+        R = jnp.asarray(X) - Dj @ G
+        obj = float(jnp.sum(R * R) + LAM * jnp.sum(jnp.abs(G)))
+        key = "compacted" if compact else "baseline"
+        out[key] = {
+            "seconds": round(t, 3),
+            "patches_per_sec": round(N_probe / t, 1),
+            "objective": obj,
+        }
+    out["speedup"] = round(
+        out["compacted"]["patches_per_sec"]
+        / out["baseline"]["patches_per_sec"], 3
+    )
+    out["objective_identical_rel"] = abs(
+        out["compacted"]["objective"] - out["baseline"]["objective"]
+    ) / abs(out["baseline"]["objective"])
+
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    path = os.path.join(RESULTS_DIR, "profile_fs.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    main(**vars(ap.parse_args()))

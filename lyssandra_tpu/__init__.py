@@ -49,6 +49,8 @@ from lyssandra_tpu.solvers import (
     fista,
     group_omp,
     lars,
+    lars_path,
+    LarsPath,
     lasso,
     lasso_lars,
     llc,

@@ -8,7 +8,7 @@ from lyssandra_tpu.solvers.greedy import (
     GreedyResult,
 )
 from lyssandra_tpu.solvers.lasso import (
-    feature_sign, fista, lars, lasso, lasso_lars,
+    feature_sign, fista, lars, lars_path, LarsPath, lasso, lasso_lars,
 )
 from lyssandra_tpu.solvers.llc import llc
 from lyssandra_tpu.solvers.encoder import SparseEncoder, sparse_encoder

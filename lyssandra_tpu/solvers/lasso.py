@@ -291,6 +291,7 @@ def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 100, max_inner: int = 20,
     full_result: bool = False, polish: bool = True,
+    compact_stragglers: bool = True,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -303,11 +304,24 @@ def feature_sign(
     algorithm's sparse design domain.  With ``polish`` (default), lanes
     that did not reach their KKT conditions are re-solved with FISTA and
     the better objective wins, so every lane converges for every lam.
+
+    ``compact_stragglers``: active-set solvers ride each batch's slowest
+    lane — a frozen (done) lane still COMPUTES at full width in every
+    later segment.  After each 16-iteration segment, lanes still running
+    are gathered into a narrow batch (padded to 256) and only those
+    continue; results scatter back at the end.  One ~31 ms host fetch
+    per segment buys up to a width-fraction cost reduction for the whole
+    straggler tail (measured on chip: benchmarks/profile_fs.py,
+    VERDICT r1 #4).  Identical results by construction — compaction
+    permutes lanes, never changes any lane's iteration sequence.
     """
+    import numpy as np
+
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
     Dt, Xt = D.T, X.T
     A0 = jnp.matmul(X.T, D, precision=_HI)
+    N = A0.shape[0]
     # run in segments of <= 16 outer iterations per device program: one
     # monolithic while_loop can run minutes of device time on dense
     # problems and trip the TPU worker's kernel watchdog.  Segments are
@@ -316,13 +330,67 @@ def feature_sign(
     # segments cost ~nothing, while a per-segment `all(done)` fetch costs a
     # host round-trip over the device tunnel (round-1 bottleneck).
     seg = min(16, max_iter)
+    n_segs = (max_iter + seg - 1) // seg
     state = _fs_init(A0, float(lam), max_active)
-    res = None
-    for _ in range((max_iter + seg - 1) // seg):
-        state, res = _feature_sign_impl(
-            Dt, Xt, A0, float(lam), state,
+    state, res = _feature_sign_impl(
+        Dt, Xt, A0, float(lam), state,
+        max_active=max_active, max_iter=seg, max_inner=max_inner,
+    )
+    lanes = None            # narrow-batch lane ids (None = full width)
+    Xt_n, A0_n = Xt, A0
+    for _ in range(n_segs - 1):
+        if compact_stragglers:
+            bad = np.asarray(~state[5])     # still running (overflow
+            nbad = int(bad.sum())           # lanes are done+frozen)
+            if nbad == 0:
+                break
+            cur = state[0].shape[0]
+            if nbad <= cur // 2:
+                # gather still-running lanes into a narrow padded batch;
+                # width quantized to powers of two so the whole process
+                # compiles at most log2(N/256) narrow executables (each
+                # fresh shape costs 30-120 s on the remote compiler)
+                cols = np.where(bad)[0]
+                width = 256
+                while width < nbad:
+                    width *= 2
+                sel = np.zeros(width, np.int64)
+                sel[:nbad] = cols
+                selj = jnp.asarray(sel)
+                state = tuple(
+                    s[selj] if getattr(s, "ndim", 0) >= 1 else s
+                    for s in state
+                )
+                # padding lanes replicate lane cols[0]; mark them done so
+                # they freeze immediately
+                pad_done = jnp.asarray(np.arange(width) >= nbad)
+                state = (
+                    state[:5] + (state[5] | pad_done,) + state[6:]
+                )
+                Xt_n = Xt_n[selj]
+                A0_n = A0_n[selj]
+                lanes = (
+                    cols if lanes is None
+                    else np.asarray(lanes)[cols]
+                )
+        state, res_n = _feature_sign_impl(
+            Dt, Xt_n, A0_n, float(lam), state,
             max_active=max_active, max_iter=seg, max_inner=max_inner,
         )
+        if lanes is None:
+            res = res_n
+        else:
+            nb = len(lanes)
+            res = FeatureSignResult(
+                res.Gamma.at[:, jnp.asarray(lanes)].set(
+                    res_n.Gamma[:, :nb]
+                ),
+                res_n.n_iter,
+                res.done.at[jnp.asarray(lanes)].set(res_n.done[:nb]),
+                res.overflow.at[jnp.asarray(lanes)].set(
+                    res_n.overflow[:nb]
+                ),
+            )
     if polish and bool(jnp.any(~res.done | res.overflow)):
         Gf = fista(D, X, lam, n_iter=500)
 
@@ -380,10 +448,16 @@ def feature_sign_scan(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_active", "max_steps")
+    jax.jit, static_argnames=("max_active", "max_steps", "t_stop")
 )
-def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps):
+def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps,
+               t_stop=0):
     """Batched LARS-lasso homotopy for min ||x - Dg||^2 + lam |g|_1.
+
+    ``t_stop > 0``: T-constrained mode (sklearn Lars/LassoLars
+    ``n_nonzero_coefs``-style stopping) — a lane finishes at the first
+    join event that would grow its active set beyond ``t_stop`` atoms,
+    with coefficients evaluated at that knot.
 
     Along the regularization path the active coefficients are linear in the
     (decreasing) penalty lt:  g_A(lt) = c_A - lt * w_A  with
@@ -403,6 +477,25 @@ def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps):
 
     Dt = D^T (K, p); Xt = X^T (N, p); A0 = X^T D (N, K).
     """
+    step = _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop)
+    it0 = state[-1]
+
+    def cond(st):
+        *_, done, it = st
+        return (it - it0 < max_steps) & ~jnp.all(done)
+
+    st = lax.while_loop(cond, step, state)
+    idx, mask, theta, gact, lt, done, _ = st
+    N, K = A0.shape
+    Gd = jnp.zeros((N, K), A0.dtype).at[
+        jnp.arange(N)[:, None], idx
+    ].add(jnp.where(mask, gact, 0.0))
+    return st, (Gd.T, done)
+
+
+def _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop):
+    """One homotopy event step, shared by the solver while_loop and the
+    path-recording scan."""
     N, K = A0.shape
     A = max_active
     eyeA = jnp.eye(A, dtype=A0.dtype)
@@ -473,6 +566,23 @@ def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps):
             jnp.where(cand == lt_join[:, None], iotaK, K), axis=1
         ).astype(jnp.int32)
 
+        # self-healing overdue joins: a near-degenerate leave/join pair
+        # can make two events land within the 1e-6 margin, skipping an
+        # atom whose crossing then lies in the PAST (|corr(lt)| > lt) —
+        # the `< lt - 1e-6` filter would exclude it forever and the rest
+        # of the lane's path would silently violate KKT (caught by the
+        # r4 per-knot path tests).  Such atoms join IMMEDIATELY at the
+        # current lt: no lambda progress, one active-set correction step.
+        c_now = jnp.where(is_act, 0.0, u + lt[:, None] * v)
+        over = jnp.abs(c_now) - lt[:, None] * (1.0 + 1e-5)
+        mx_over = jnp.max(over, axis=1, keepdims=True)
+        k_over = jnp.min(
+            jnp.where(over == mx_over, iotaK, K), axis=1
+        ).astype(jnp.int32)
+        has_over = mx_over[:, 0] > 1e-5
+        lt_join = jnp.where(has_over, lt, lt_join)
+        k_join = jnp.where(has_over, k_over, k_join)
+
         # leave events: cA - lt*wA = 0 => lt = cA/wA (crossing as lt falls)
         ltz = jnp.where(
             mask & (jnp.abs(wA) > 1e-12), cA / jnp.where(
@@ -486,11 +596,20 @@ def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps):
 
         lt_next = jnp.maximum(jnp.maximum(lt_join, lt_leave), lam)
         finished = lt_next <= lam + 1e-9
+        prefer_join = lt_join >= lt_leave
+        if t_stop:
+            # T-constrained stop: the join that would exceed t_stop
+            # active atoms finishes the lane AT that join knot (lt_next
+            # == lt_join there, so gact_new below is the knot solution)
+            hit = (~finished) & prefer_join & (
+                jnp.sum(mask, axis=1) >= t_stop
+            )
+            finished = finished | hit
 
         gact_new = (cA - lt_next[:, None] * wA) * maskf
 
-        do_join = (~finished) & (lt_join >= lt_leave)
-        do_leave = (~finished) & ~do_join
+        do_join = (~finished) & prefer_join
+        do_leave = (~finished) & ~prefer_join
 
         # join: put k_join into the first free slot
         free = jnp.argmin(mask.astype(jnp.int32), axis=1).astype(jnp.int32)
@@ -521,18 +640,70 @@ def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps):
             done | newly_done, it + 1,
         )
 
-    it0 = state[-1]
+    return step
 
-    def cond(st):
-        *_, done, it = st
-        return (it - it0 < max_steps) & ~jnp.all(done)
 
-    st = lax.while_loop(cond, step, state)
-    idx, mask, theta, gact, lt, done, _ = st
-    Gd = jnp.zeros((N, K), A0.dtype).at[
-        jnp.arange(N)[:, None], idx
-    ].add(jnp.where(mask, gact, 0.0))
-    return st, (Gd.T, done)
+class LarsPath(NamedTuple):
+    """Batched regularization-path knots from :func:`lars_path`.
+
+    lambdas: (S+1, N) knot penalties (knot 0 = lambda_max, zero coefs);
+    coefs:   (S+1, N, A) compact active-coefficient values per knot;
+    idx:     (S+1, N, A) atom ids of the compact slots;
+    mask:    (S+1, N, A) slot validity;
+    keep:    (S+1, N) True at each lane's LAST row per distinct lambda —
+             frozen lanes repeat their final state, and a self-healing
+             correction step re-emits a knot at the same lambda with the
+             corrected active set; consumers should read kept rows only;
+    n_knots: (N,) number of distinct knots per lane (= keep.sum(0)).
+    """
+
+    lambdas: jax.Array
+    coefs: jax.Array
+    idx: jax.Array
+    mask: jax.Array
+    keep: jax.Array
+    n_knots: jax.Array
+
+    def dense(self, K: int) -> jax.Array:
+        """(S+1, K, N) dense coefficient path (small problems only)."""
+        S, N, A = self.coefs.shape
+        out = jnp.zeros((S, N, K), self.coefs.dtype)
+        out = out.at[
+            jnp.arange(S)[:, None, None],
+            jnp.arange(N)[None, :, None],
+            self.idx,
+        ].add(jnp.where(self.mask, self.coefs, 0.0))
+        return jnp.moveaxis(out, 1, 2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_active", "max_steps", "t_stop")
+)
+def _lars_path_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps,
+                    t_stop=0):
+    """Fixed-trip path recording: scan ``max_steps`` homotopy events,
+    emitting every knot (sklearn lars_path's coef_path analogue,
+    batched)."""
+    step = _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop)
+
+    def body(st, _):
+        _, mask0, _, _, lt0, done0, _ = st
+        st2 = step(st)
+        idx, mask, _, gact, lt, done, _ = st2
+        # an overdue-join healing step joins at UNCHANGED lambda: both
+        # the knots it supersedes and itself are off-path (the late
+        # joiner sits at 0 where the true path has it nonzero) — flag
+        # for exclusion from `keep`
+        healed = (
+            (lt == lt0) & ~done0
+            & (jnp.sum(mask, 1) > jnp.sum(mask0, 1))
+        )
+        return st2, (lt, gact, idx, mask, healed)
+
+    st, (lts, gacts, idxs, masks, heals) = lax.scan(
+        body, state, None, length=max_steps
+    )
+    return st, (lts, gacts, idxs, masks, heals)
 
 
 def _lars_init(A0, lam, A):
@@ -554,13 +725,23 @@ def _lars_init(A0, lam, A):
 
 
 def lars(
-    D: jax.Array, X: jax.Array, lam: float,
-    *, max_active: int = 64, max_steps: int = 256,
+    D: jax.Array, X: jax.Array, lam: float = 0.0,
+    *, n_nonzero_coefs: int | None = None,
+    max_active: int = 64, max_steps: int = 256,
     full_result: bool = False, polish: bool = True,
 ):
     """Batched LARS-lasso (homotopy) solver for the lasso objective
     ||x - D g||^2 + lam ||g||_1 — same optimum as feature_sign, reached by
     tracing the regularization path from lambda_max down to lam.
+
+    ``n_nonzero_coefs=T``: T-constrained mode (the sklearn
+    Lars/LassoLars ``n_nonzero_coefs`` stopping the reference's lasso
+    wrapper exposes) — each lane stops at the first join event that
+    would grow its active set past T atoms and returns the knot
+    solution there (<= T nonzeros); lam (default 0) is the floor if the
+    path exhausts first.  Polish is skipped in this mode (the FISTA
+    fallback solves the lam-penalized objective, not the T-constrained
+    one).
 
     fp32 homotopy is path-sensitive: a ~1-ulp perturbation can reorder two
     nearby events and strand a lane short of its KKT point.  With
@@ -577,6 +758,10 @@ def lars(
     """
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
+    t_stop = 0 if n_nonzero_coefs is None else int(n_nonzero_coefs)
+    if t_stop:
+        max_active = max(max_active, t_stop + 1)
+        polish = False
     G = jnp.matmul(D.T, D, precision=_HI)
     A0 = jnp.matmul(X.T, D, precision=_HI)
     # segmented launches (<= 32 homotopy steps each) dispatched without
@@ -588,7 +773,7 @@ def lars(
     for _ in range((max_steps + seg - 1) // seg):
         state, (Gamma, done) = _lars_impl(
             D.T, X.T, A0, float(lam), state,
-            max_active=max_active, max_steps=seg,
+            max_active=max_active, max_steps=seg, t_stop=t_stop,
         )
     if polish:
         gr = 2.0 * (jnp.matmul(G, Gamma, precision=_HI) - A0.T)
@@ -611,6 +796,55 @@ def lars(
             Gamma = jnp.where(take[None, :], Gf, Gamma)
             done = done | take
     return (Gamma, done) if full_result else Gamma
+
+
+def lars_path(
+    D: jax.Array, X: jax.Array, lam: float = 0.0,
+    *, n_nonzero_coefs: int | None = None,
+    max_active: int = 64, max_steps: int = 64,
+) -> LarsPath:
+    """Batched regularization path (sklearn ``lars_path`` analogue,
+    method='lasso'): every homotopy knot from lambda_max down to ``lam``
+    (or until ``n_nonzero_coefs`` atoms are active), for all N signals at
+    once.  Knot 0 is (lambda_max, all-zero); see :class:`LarsPath`.
+
+    Fixed ``max_steps`` trip count (path recording needs every event, so
+    there is no early exit — keep max_steps modest; lanes that finish
+    early repeat their final knot, count in ``n_knots``).
+    """
+    D = jnp.asarray(D, jnp.float32)
+    X = jnp.asarray(X, jnp.float32)
+    t_stop = 0 if n_nonzero_coefs is None else int(n_nonzero_coefs)
+    if t_stop:
+        max_active = max(max_active, t_stop + 1)
+    A0 = jnp.matmul(X.T, D, precision=_HI)
+    state = _lars_init(A0, float(lam), max_active)
+    idx0, mask0, _, gact0, lt0, done0, _ = state
+    _, (lts, gacts, idxs, masks, heals) = _lars_path_impl(
+        D.T, X.T, A0, float(lam), state,
+        max_active=max_active, max_steps=max_steps, t_stop=t_stop,
+    )
+    lambdas = jnp.concatenate([lt0[None], lts], axis=0)
+    coefs = jnp.concatenate([gact0[None], gacts], axis=0)
+    idx = jnp.concatenate([idx0[None], idxs], axis=0)
+    mask = jnp.concatenate([mask0[None], masks], axis=0)
+    # keep the LAST row per distinct lambda (frozen lanes repeat their
+    # final lambda), minus knots touched by a healing correction: a heal
+    # joins an overdue atom at unchanged lambda, so the knot(s) it
+    # supersedes AND the heal knot itself (late joiner still at 0) are
+    # off the true path — valid knots resume at the next real event
+    healed = jnp.concatenate(
+        [jnp.zeros((1, lambdas.shape[1]), bool), heals], axis=0
+    )
+    off_path = healed | jnp.concatenate(
+        [healed[1:], jnp.zeros((1, lambdas.shape[1]), bool)], axis=0
+    )
+    keep = jnp.concatenate([
+        lambdas[:-1] != lambdas[1:],
+        jnp.ones((1, lambdas.shape[1]), bool),
+    ], axis=0) & ~off_path
+    n_knots = jnp.sum(keep, axis=0).astype(jnp.int32)
+    return LarsPath(lambdas, coefs, idx, mask, keep, n_knots)
 
 
 lasso_lars = lars  # reference-style alias (sklearn LassoLars wrapper name)
