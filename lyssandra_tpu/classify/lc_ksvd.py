@@ -17,16 +17,49 @@ Prediction: gamma = OMP(D, x), argmax W gamma (SURVEY.md §3.4).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from lyssandra_tpu.config import KSVDConfig, LCKSVDConfig
 from lyssandra_tpu.classify.linear import one_hot, ridge
-from lyssandra_tpu.dict_learning.ksvd import KSVDLearner
-from lyssandra_tpu.ops.dictionaries import normalize_atoms
+from lyssandra_tpu.dict_learning.ksvd import KSVDLearner, ksvd_atom_update
+from lyssandra_tpu.ops.dictionaries import init_dictionary, normalize_atoms
 from lyssandra_tpu.solvers.encoder import SparseEncoder
+
+_HI = lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("T", "n_iter"))
+def _ksvd_init_scan(Xs, D0s, *, T: int, n_iter: int):
+    """All C per-class K-SVD init fits as ONE device program.
+
+    Xs: (C, p, nmax) zero-padded class signals; D0s: (C, p, Kc).  vmap
+    over classes x lax.scan over iterations.  The r1-r3 init ran C
+    separate KSVDLearner fits — each class's signal count is distinct, so
+    each fit COMPILED its own executables (30-120 s per shape over the
+    remote-compile tunnel) and paid per-iteration host syncs; that, not
+    compute, was the 283 s of config-5 LC-KSVD training.  Zero-padded
+    columns code to zero (frozen lanes) and the atom-update masks exclude
+    them, so padding changes nothing.
+    """
+    from lyssandra_tpu.solvers.greedy import _omp_impl
+
+    def one_iter(Ds, _):
+        def step(D, Xc):
+            res = _omp_impl(D, Xc, 0.0, T=T, eps_mode=False, precision=_HI)
+            Gamma = res.dense(D.shape[1])
+            D2, _ = ksvd_atom_update(Xc, D, Gamma)
+            return normalize_atoms(D2)
+
+        return jax.vmap(step)(Ds, Xs), None
+
+    Ds, _ = lax.scan(one_iter, D0s, None, length=n_iter)
+    return Ds
 
 
 def build_label_consistency(y, K: int, C: int) -> jax.Array:
@@ -61,16 +94,40 @@ class LCKSVD:
 
         # --- init: per-class K-SVD dictionaries, ridge-initialized A, W
         per = K // C
-        subdicts = []
-        for c in range(C):
-            Kc = per if c < C - 1 else K - per * (C - 1)
-            Xc = X[:, y == c]
-            sub = KSVDLearner(
-                KSVDConfig(K=Kc, T=min(cfg.T, Kc), n_iter=max(2, cfg.n_iter // 2),
-                           init="data", replace_dead=False, seed=cfg.seed + c)
-            ).fit(Xc)
-            subdicts.append(sub.D_)
-        D0 = normalize_atoms(jnp.concatenate(subdicts, axis=1))
+        init_iters = max(2, cfg.n_iter // 2)
+        if K % C == 0:
+            # equal per-class atom counts: run all C fits in one program
+            counts = np.bincount(y, minlength=C)
+            nmax = int(counts.max())
+            Xs = np.zeros((p, C, nmax), np.float32)
+            Xnp = np.asarray(X)
+            for c in range(C):
+                Xs[:, c, : counts[c]] = Xnp[:, y == c]
+            D0s = np.stack([
+                np.asarray(init_dictionary(
+                    jnp.asarray(Xs[:, c, : counts[c]]), per, "data",
+                    cfg.seed + c,
+                ))
+                for c in range(C)
+            ])
+            Ds = _ksvd_init_scan(
+                jnp.asarray(np.moveaxis(Xs, 1, 0)), jnp.asarray(D0s),
+                T=min(cfg.T, per), n_iter=init_iters,
+            )
+            D0 = jnp.moveaxis(Ds, 0, 1).reshape(p, K)
+        else:
+            subdicts = []
+            for c in range(C):
+                Kc = per if c < C - 1 else K - per * (C - 1)
+                Xc = X[:, y == c]
+                sub = KSVDLearner(
+                    KSVDConfig(K=Kc, T=min(cfg.T, Kc), n_iter=init_iters,
+                               init="data", replace_dead=False,
+                               seed=cfg.seed + c)
+                ).fit(Xc)
+                subdicts.append(sub.D_)
+            D0 = jnp.concatenate(subdicts, axis=1)
+        D0 = normalize_atoms(D0)
 
         enc = SparseEncoder("bomp", {"T": cfg.T}, check_atoms=False)
         G0 = enc.encode(X, D0)
