@@ -28,6 +28,21 @@ import numpy as np
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 
 
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.sum(x)))
+
+
+def _best_of(fn, reps=3):
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main(quick=False):
     import jax
     import jax.numpy as jnp
@@ -99,9 +114,13 @@ def main(quick=False):
     # --- 2. compact K-SVD fit (no dense Gamma) -------------------------
     cfg = KSVDConfig(K=K, T=T, n_iter=2, init="data", codes="compact",
                      atom_block=16, seed=0)
-    KSVDLearner(cfg, encoder=enc).fit(np.asarray(X))      # warm/compile
+    # pass the DEVICE array: np.asarray(X) round-trips 256 MB through the
+    # host per fit call (~8 s over the tunnel) and was 90% of the r4
+    # first-cut fit time — the phase probes (sweep 0.37 s + post 0.45 s
+    # + encode 0.11 s) exposed the gap
+    KSVDLearner(cfg, encoder=enc).fit(X)                  # warm/compile
     t0 = time.perf_counter()
-    learner = KSVDLearner(cfg, encoder=enc).fit(np.asarray(X))
+    learner = KSVDLearner(cfg, encoder=enc).fit(X)
     dt = time.perf_counter() - t0
     objs = [h["objective"] for h in learner.history_]
     out["ksvd_compact_fit"] = {
