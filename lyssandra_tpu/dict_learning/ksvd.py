@@ -517,8 +517,12 @@ class KSVDLearner:
         self.Gamma_ = Gamma
         return self
 
-    def encode(self, X) -> jax.Array:
-        return self.encoder.encode(jnp.asarray(X, jnp.float32), self.D_)
+    def encode(self, X, *, dense: bool = True):
+        """Codes of X over the learned dictionary (dense Gamma (K, N), or
+        a compact GreedyResult with dense=False on greedy routes)."""
+        return self.encoder.encode(
+            jnp.asarray(X, jnp.float32), self.D_, dense=dense
+        )
 
 
 ksvd = KSVDLearner  # reference-style lowercase alias

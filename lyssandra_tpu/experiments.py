@@ -18,6 +18,8 @@ Experiment spec (YAML or JSON):
       # npz: path/to/data.npz     #   arrays X (p, N) [, y (N,)]
       # folders: path/to/root     #   class-per-subdirectory image dataset
       # resize: 32                #   optional square resize with folders
+      # color: true               #   RGB images -> (3 p^2, N) patches
+      #                           #   (ksvd/online_dl/encode/denoise)
     params: {K: 512, T: 8, n_iter: 20, ...}   # config fields for the task
 
 Every task returns (and saves) a plain-JSON result dict; learned arrays
@@ -44,6 +46,7 @@ def _load_patches(data: dict[str, Any]) -> np.ndarray:
     p = int(data.get("patch", 8))
     n = int(data.get("n_patches", 50000))
     size = int(data.get("size", 512))
+    color = bool(data.get("color", False))   # RGB -> (3 p^2, N) patches
     if "npz" in data:
         with np.load(data["npz"]) as z:
             return np.asarray(z["X"], np.float32)
@@ -51,12 +54,13 @@ def _load_patches(data: dict[str, Any]) -> np.ndarray:
         from lyssandra_tpu.utils import load_image_folders
 
         imgs, _, _ = load_image_folders(
-            data["folders"], size=data.get("resize"), allow_mixed=True
+            data["folders"], size=data.get("resize"), allow_mixed=True,
+            gray=not color,
         )
     elif "paths" in data:
-        imgs = [load_image(path) for path in data["paths"]]
+        imgs = [load_image(path, gray=not color) for path in data["paths"]]
     else:
-        imgs = [standard_test_image(name, size)
+        imgs = [standard_test_image(name, size, color=color)
                 for name in data.get("images", ["barbara", "lena"])]
     return patch_dataset(imgs, p=p, n_patches=n,
                          seed=int(data.get("seed", 0))).astype(np.float32)
@@ -144,15 +148,19 @@ def run_experiment(spec: dict[str, Any] | str, *, mesh=None) -> dict:
             ws.save_array("D", D=np.asarray(learner.D_))
     elif task == "denoise":
         from lyssandra_tpu import dct_dictionary, denoise, oracle
+        from lyssandra_tpu.ops.dictionaries import dct_dictionary_color
         from lyssandra_tpu.utils import standard_test_image
 
         size = int(data.get("size", 512))
         name = data.get("images", ["barbara"])[0]
-        img = standard_test_image(name, size)
+        color = bool(data.get("color", False))
+        img = standard_test_image(name, size, color=color)
         cfg = DenoiseConfig(**params)
         rng = np.random.default_rng(int(data.get("seed", 7)))
         noisy = img + cfg.sigma * rng.standard_normal(img.shape)
-        D = dct_dictionary(cfg.patch, int(data.get("K", 256)))
+        K = int(data.get("K", 256))
+        D = (dct_dictionary_color(cfg.patch, K) if color
+             else dct_dictionary(cfg.patch, K))
         den = denoise(noisy.astype(np.float32), D, cfg.sigma, cfg=cfg,
                       mesh=mesh)
         result = {

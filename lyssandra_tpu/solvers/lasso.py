@@ -291,7 +291,7 @@ def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 100, max_inner: int = 20,
     full_result: bool = False, polish: bool = True,
-    compact_stragglers: bool = True,
+    compact_stragglers: bool = False,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -307,13 +307,16 @@ def feature_sign(
 
     ``compact_stragglers``: active-set solvers ride each batch's slowest
     lane — a frozen (done) lane still COMPUTES at full width in every
-    later segment.  After each 16-iteration segment, lanes still running
-    are gathered into a narrow batch (padded to 256) and only those
-    continue; results scatter back at the end.  One ~31 ms host fetch
-    per segment buys up to a width-fraction cost reduction for the whole
-    straggler tail (measured on chip: benchmarks/profile_fs.py,
-    VERDICT r1 #4).  Identical results by construction — compaction
-    permutes lanes, never changes any lane's iteration sequence.
+    later segment.  With this flag, lanes still running after a segment
+    are gathered into a narrow power-of-two batch and only those
+    continue; results scatter back at the end (identical by construction
+    — compaction permutes lanes, never changes a lane's iterations).
+    MEASURED NEGATIVE at the config-4 operating point (profile_fs.json,
+    r4): 97.8% of lanes converge inside the first 16-iteration segment,
+    so the remaining full-width segments are already cheap and the
+    per-segment host fetch + narrow-shape compiles cost MORE than they
+    save (0.91x).  Off by default; opt in for straggler-heavy regimes
+    (small lam / dense solutions where the tail runs many segments).
     """
     import numpy as np
 

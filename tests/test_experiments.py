@@ -49,6 +49,26 @@ def test_denoise_experiment(tmp_path):
     assert result["psnr"] > result["psnr_noisy"]
 
 
+def test_color_denoise_and_ksvd_experiments(tmp_path):
+    # data.color=true drives the RGB patch path from the YAML runner
+    result = run_experiment({
+        "task": "denoise",
+        "data": {"images": ["barbara"], "size": 48, "K": 64, "seed": 7,
+                 "color": True},
+        "params": {"sigma": 25.0, "T_max": 8, "block": 4096},
+    })
+    assert result["psnr"] > result["psnr_noisy"]
+    result = run_experiment({
+        "task": "ksvd",
+        "workspace": str(tmp_path / "wsc"),
+        "data": {"images": ["lena"], "size": 48, "n_patches": 400,
+                 "patch": 8, "color": True},
+        "params": {"K": 32, "T": 3, "n_iter": 2},
+    })
+    with np.load(tmp_path / "wsc" / "D.npz") as z:
+        assert z["D"].shape == (192, 32)     # 3 p^2 rows: color patches
+
+
 def test_src_experiment():
     result = run_experiment({
         "task": "src",
