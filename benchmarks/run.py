@@ -268,6 +268,13 @@ def config5(quick=False, run_oracle=False):
     )
     Xtr, Xte = Xtr.T, Xte.T
 
+    # warm the device->host fetch path: the FIRST fetch of a process
+    # stalls for minutes on the tunneled backend (CLAUDE.md) and must
+    # not land inside the timed fit
+    import jax.numpy as jnp
+
+    _sync(jnp.zeros(()))
+
     t0 = time.perf_counter()
     lc = LCKSVD(LCKSVDConfig(K=200 if quick else 500, T=8,
                              n_iter=4 if quick else 20)).fit(
@@ -283,6 +290,7 @@ def config5(quick=False, run_oracle=False):
     out = {
         "config": 5, "n_train": Xtr.shape[1], "n_test": Xte.shape[1],
         "lcksvd_accuracy": lc_acc, "lcksvd_seconds": lc_dt,
+        "lcksvd_phase_seconds": getattr(lc, "timings_", {}),
         "src_accuracy": src_acc, "src_seconds": src_dt,
     }
     if run_oracle:

@@ -84,37 +84,53 @@ class LCKSVD:
         self.predict_T = predict_T if predict_T is not None else cfg.T
 
     def fit(self, X, y) -> "LCKSVD":
+        import time
+
         cfg = self.cfg
+        # keep a host copy BEFORE device placement: the CPU-side init
+        # below must not fetch X back from the device (the first
+        # device->host fetch of a process stalls for minutes on the
+        # tunneled backend — it dominated the r4 first-cut fit timing)
+        Xnp = np.asarray(X, np.float32)
         X = jnp.asarray(X, jnp.float32)
         y = np.asarray(y, int)
         p, N = X.shape
         C = int(y.max()) + 1
         K = cfg.K
         self.C_ = C
+        self.timings_ = {}
+        t0 = time.perf_counter()
 
         # --- init: per-class K-SVD dictionaries, ridge-initialized A, W
         per = K // C
         init_iters = max(2, cfg.n_iter // 2)
         if K % C == 0:
             # equal per-class atom counts: run all C fits in one program
+            # ON THE HOST CPU BACKEND — the init is tiny compute (~C x
+            # (p, N/C) x K/C x 10 iters, milliseconds anywhere) but its
+            # nested vmap/scan graph costs minutes on the REMOTE compile
+            # helper; the local CPU backend compiles it in seconds and
+            # fp32 CPU results are what the test suite pins anyway
             counts = np.bincount(y, minlength=C)
             nmax = int(counts.max())
             Xs = np.zeros((p, C, nmax), np.float32)
-            Xnp = np.asarray(X)
             for c in range(C):
                 Xs[:, c, : counts[c]] = Xnp[:, y == c]
-            D0s = np.stack([
-                np.asarray(init_dictionary(
-                    jnp.asarray(Xs[:, c, : counts[c]]), per, "data",
-                    cfg.seed + c,
-                ))
-                for c in range(C)
-            ])
-            Ds = _ksvd_init_scan(
-                jnp.asarray(np.moveaxis(Xs, 1, 0)), jnp.asarray(D0s),
-                T=min(cfg.T, per), n_iter=init_iters,
-            )
-            D0 = jnp.moveaxis(Ds, 0, 1).reshape(p, K)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                D0s = np.stack([
+                    np.asarray(init_dictionary(
+                        jnp.asarray(Xs[:, c, : counts[c]]), per, "data",
+                        cfg.seed + c,
+                    ))
+                    for c in range(C)
+                ])
+                Ds = _ksvd_init_scan(
+                    jnp.asarray(np.moveaxis(Xs, 1, 0)), jnp.asarray(D0s),
+                    T=min(cfg.T, per), n_iter=init_iters,
+                )
+                Ds = np.asarray(Ds)
+            D0 = jnp.asarray(np.moveaxis(Ds, 0, 1).reshape(p, K))
         else:
             subdicts = []
             for c in range(C):
@@ -129,12 +145,16 @@ class LCKSVD:
             D0 = jnp.concatenate(subdicts, axis=1)
         D0 = normalize_atoms(D0)
 
+        self.timings_["init_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         enc = SparseEncoder("bomp", {"T": cfg.T}, check_atoms=False)
         G0 = enc.encode(X, D0)
         Q = build_label_consistency(y, K, C)
         H = one_hot(y, C)
         A0 = ridge(G0, Q)
         W0 = ridge(G0, H)
+        self.timings_["ridge_init_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         # --- stack and run K-SVD on the joint system
         sa, sb = float(np.sqrt(cfg.alpha)), float(np.sqrt(cfg.beta))
@@ -147,6 +167,7 @@ class LCKSVD:
         ).fit(Xt, D0=Dt)
         Dt = learner.D_
         self.history_ = learner.history_
+        self.timings_["stacked_fit_s"] = time.perf_counter() - t0
 
         # --- unstack; renormalize so D has unit columns (A, W rescale with)
         D = Dt[:p]
