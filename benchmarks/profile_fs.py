@@ -78,42 +78,50 @@ def main(quick=False):
     Xb = jnp.asarray(X[:, :Nb])
 
     # ---- 1. phase probes at (Nb, A) shapes -----------------------------
+    # in-program repetition (dependent lax.scan, REPS iterations) — a
+    # single dispatch+fetch costs ~31 ms over the tunnel, which is more
+    # than any of these ops: per-op time = loop_time / REPS
+    REPS = 64
     Dt, Xt = Dj.T, Xb.T
     A0 = jnp.matmul(Xb.T, Dj, precision=jax.lax.Precision.HIGHEST)
     _sync(A0)
 
-    @jax.jit
-    def grad_probe(g_full):
-        R = jnp.matmul(g_full, Dt, precision=jax.lax.Precision.HIGHEST) - Xt
-        return 2.0 * jnp.matmul(R, Dt.T,
-                                precision=jax.lax.Precision.HIGHEST)
+    def repeat_ms(fn, x0):
+        f = jax.jit(
+            lambda x: jax.lax.scan(
+                lambda c, _: (fn(c), None), x, None, length=REPS
+            )[0]
+        )
+        _sync(f(x0))
+        return 1e3 * _best_of(lambda: _sync(f(x0))) / REPS
 
     rng = np.random.default_rng(0)
     g_full = jnp.asarray(rng.standard_normal((Nb, K)) * 0.01, jnp.float32)
-    _sync(grad_probe(g_full))
-    out["phase_grad_full_ms"] = 1e3 * _best_of(
-        lambda: _sync(grad_probe(g_full))
-    )
+
+    def grad_step(g):
+        R = jnp.matmul(g, Dt, precision=jax.lax.Precision.HIGHEST) - Xt
+        gr = 2.0 * jnp.matmul(R, Dt.T,
+                              precision=jax.lax.Precision.HIGHEST)
+        return g + 1e-6 * gr                    # dependent chain
+
+    out["phase_grad_full_ms"] = repeat_ms(grad_step, g_full)
 
     idx = jnp.asarray(rng.integers(0, K, (Nb, A)), jnp.int32)
 
-    @jax.jit
-    def gather_gram_probe(idx):
+    def gather_gram_step(idx):
         Dact = jnp.take(Dt, idx, axis=0)
         M = jnp.einsum("nap,nbp->nab", Dact, Dact,
                        precision=jax.lax.Precision.HIGHEST)
-        return M
+        return (idx + M[:, :1, 0].astype(jnp.int32) * 0) % K
 
-    _sync(gather_gram_probe(idx))
-    out["phase_gather_gram_ms"] = 1e3 * _best_of(
-        lambda: _sync(gather_gram_probe(idx))
-    )
+    out["phase_gather_gram_ms"] = repeat_ms(gather_gram_step, idx)
 
-    M = gather_gram_probe(idx)
+    Dact = jnp.take(Dt, idx, axis=0)
+    M = jnp.einsum("nap,nbp->nab", Dact, Dact,
+                   precision=jax.lax.Precision.HIGHEST)
     rhs = jnp.asarray(rng.standard_normal((Nb, A)), jnp.float32)
 
-    @jax.jit
-    def cg_probe(M, rhs):
+    def cg8_step(rhs):
         def op(v):
             return jnp.einsum("nab,nb->na", M, v,
                               precision=jax.lax.Precision.HIGHEST) + 1e-6 * v
@@ -129,27 +137,23 @@ def main(quick=False):
             rs2 = jnp.sum(r * r, axis=1)
             pv = r + (rs2 / (rs + 1e-30))[:, None] * pv
             rs = rs2
-        return x
+        return rhs + 1e-6 * x                   # dependent chain
 
-    _sync(cg_probe(M, rhs))
-    out["phase_cg8_ms"] = 1e3 * _best_of(lambda: _sync(cg_probe(M, rhs)))
+    out["phase_cg8_ms"] = repeat_ms(cg8_step, rhs)
 
-    @jax.jit
-    def linesearch_probe(M, gact, gnew):
+    ts = jnp.linspace(0.0, 1.0, A + 1)[None, :].repeat(Nb, 0)
+
+    def linesearch_step(gact):
+        gnew = gact * 0.7
         diff = gnew - gact
-        ts = jnp.linspace(0.0, 1.0, A + 1)[None, :].repeat(Nb, 0)
         gt = gact[:, None, :] + ts[..., None] * diff[:, None, :]
         Mg = jnp.einsum("nab,ncb->nca", M, gt,
                         precision=jax.lax.Precision.HIGHEST)
         quad = jnp.sum(gt * Mg, axis=2)
-        return jnp.argmin(quad, axis=1)
+        best = jnp.argmin(quad, axis=1)
+        return gact + 1e-6 * best[:, None].astype(jnp.float32)
 
-    gact = rhs
-    gnew = rhs * 0.7
-    _sync(linesearch_probe(M, gact, gnew))
-    out["phase_linesearch_ms"] = 1e3 * _best_of(
-        lambda: _sync(linesearch_probe(M, gact, gnew))
-    )
+    out["phase_linesearch_ms"] = repeat_ms(linesearch_step, rhs)
 
     # ---- 2. convergence profile: per-segment done counts + time --------
     state = _fs_init(A0, LAM, A)
