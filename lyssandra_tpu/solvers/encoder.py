@@ -152,7 +152,8 @@ class SparseEncoder:
     # greedy routes whose solvers return a compact GreedyResult when
     # asked — the sparse code-matrix output of the reference's
     # sparse_encoder (SURVEY.md §2.1) without the (K, N) densify
-    _COMPACT = ("bomp", "batch_omp", "omp", "nn_omp")
+    # (group_omp's compact slots are T * group_size wide)
+    _COMPACT = ("bomp", "batch_omp", "omp", "nn_omp", "group_omp")
 
     # -- public API --------------------------------------------------------
 

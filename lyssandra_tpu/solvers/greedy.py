@@ -74,9 +74,9 @@ class GreedyResult(NamedTuple):
         cols = np.repeat(np.arange(N), T)[valid.ravel()]
         rows = idx.ravel()[valid.ravel()]
         vals = gamma.ravel()[valid.ravel()]
-        return sparse.csc_matrix(
-            (vals, (rows, cols)), shape=(K, N)
-        )
+        M = sparse.csc_matrix((vals, (rows, cols)), shape=(K, N))
+        M.eliminate_zeros()      # padded group-member slots carry 0s
+        return M
 
     @staticmethod
     def concatenate(results: "list[GreedyResult]") -> "GreedyResult":
@@ -785,19 +785,24 @@ def _group_omp_impl(D, X, members, mmask, member_oh, eps,
         return out, None
 
     carry, _ = lax.scan(step, carry, jnp.arange(T))
-    C = jnp.zeros((N, K), D.dtype).at[
-        jnp.arange(N)[:, None], carry["idx"]
-    ].add(carry["gamma"] * carry["smask"])
-    return C.T, carry["err"]
+    res = GreedyResult(
+        idx=carry["idx"],                         # (N, T*gs) slots
+        gamma=carry["gamma"] * carry["smask"],    # padded slots -> 0
+        err=carry["err"],
+        nsel=(carry["nsel"] * gs).astype(jnp.int32),
+    )
+    return res
 
 
 def group_omp(
     D: jax.Array, X: jax.Array, groups, T: int,
-    eps: float | None = None, *, precision=_HI,
+    eps: float | None = None, *, precision=_HI, dense: bool = True,
 ):
     """Group OMP (oracle.group_omp): select argmax_g ||D_g^T r||, LS over the
     union of selected groups' atoms.  ``groups``: (K,) int array of group ids
-    in [0, n_groups).  Returns dense Gamma (K, N).
+    in [0, n_groups).  Returns dense Gamma (K, N), or with ``dense=False``
+    a compact GreedyResult whose T*group_size slots hold the selected
+    groups' atoms (padded group slots carry zero coefficients).
 
     TPU-first: fixed group-slot capacity with progressive block-Cholesky —
     per-lane state is O((T * group_size)^2), so K=1024 at N=32k fits HBM
@@ -819,13 +824,20 @@ def group_omp(
     member_oh = jax.nn.one_hot(
         jnp.asarray(groups_np, jnp.int32), n_groups, dtype=D.dtype
     )
-    Gamma, _ = _group_omp_impl(
+    res = _group_omp_impl(
         D, X, jnp.asarray(members), jnp.asarray(mmask), member_oh,
         0.0 if eps is None else float(eps),
         n_groups=n_groups, gs=gs, T=min(T, n_groups),
         eps_mode=eps is not None, precision=precision,
     )
-    return Gamma
+    if not dense:
+        return res
+    N = X.shape[1]
+    K = D.shape[1]
+    C = jnp.zeros((N, K), D.dtype).at[
+        jnp.arange(N)[:, None], res.idx
+    ].add(res.gamma)
+    return C.T
 
 
 @functools.partial(

@@ -744,7 +744,11 @@ def lars(
     solution there (<= T nonzeros); lam (default 0) is the floor if the
     path exhausts first.  Polish is skipped in this mode (the FISTA
     fallback solves the lam-penalized objective, not the T-constrained
-    one).
+    one).  fp32 caveat: a lane whose path needed an overdue-join heal
+    (a missed crossing rejoined late) can stop with an inactive atom
+    slightly above the boundary — rare (property-tested bound), and the
+    active coefficients remain the exact lasso solution OF that active
+    set at the stop penalty.
 
     fp32 homotopy is path-sensitive: a ~1-ulp perturbation can reorder two
     nearby events and strand a lane short of its KKT point.  With

@@ -69,6 +69,22 @@ def test_encoder_compact_output(tiny, alg):
     np.testing.assert_allclose(res.to_csc(32).toarray(), dense, atol=1e-6)
 
 
+def test_encoder_compact_group_omp(tiny):
+    # group route: compact slots are T * group_size wide; padded member
+    # slots carry zeros and vanish from the CSC export
+    D, X, _ = tiny
+    groups = np.repeat(np.arange(8), 4)
+    enc = lt.SparseEncoder("group_omp", {"T": 2, "groups": groups},
+                           check_atoms=False, block=16)
+    res = enc.encode(X, D, dense=False)
+    assert res.idx.shape == (48, 8)              # T=2 groups x gs=4
+    dense = np.asarray(enc.encode(X, D))
+    np.testing.assert_allclose(np.asarray(res.dense(32)), dense, atol=1e-6)
+    csc = res.to_csc(32)
+    np.testing.assert_allclose(csc.toarray(), dense, atol=1e-6)
+    assert csc.nnz <= (np.abs(dense) > 0).sum() + 1
+
+
 def test_encoder_compact_rejects_nongreedy(tiny):
     D, X, _ = tiny
     with pytest.raises(ValueError, match="dense=False"):
