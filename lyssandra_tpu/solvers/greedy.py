@@ -797,6 +797,7 @@ def _group_omp_impl(D, X, members, mmask, member_oh, eps,
 def group_omp(
     D: jax.Array, X: jax.Array, groups, T: int,
     eps: float | None = None, *, precision=_HI, dense: bool = True,
+    fused: bool = True, interpret: bool = False,
 ):
     """Group OMP (oracle.group_omp): select argmax_g ||D_g^T r||, LS over the
     union of selected groups' atoms.  ``groups``: (K,) int array of group ids
@@ -806,7 +807,9 @@ def group_omp(
 
     TPU-first: fixed group-slot capacity with progressive block-Cholesky —
     per-lane state is O((T * group_size)^2), so K=1024 at N=32k fits HBM
-    (the batch_omp design generalized to gs-wide appends).
+    (the batch_omp design generalized to gs-wide appends).  On TPU in
+    T-mode, the full-fused Pallas kernel (ops/pallas_group.py) runs all
+    T steps per lane block in VMEM (``fused=False`` forces the XLA scan).
     """
     import numpy as np
 
@@ -815,6 +818,38 @@ def group_omp(
     groups_np = np.asarray(groups, np.int64)
     n_groups = int(groups_np.max()) + 1
     gs = int(np.bincount(groups_np, minlength=n_groups).max())
+
+    from lyssandra_tpu.ops.pallas_group import (
+        group_omp_fused, group_omp_fused_supported,
+    )
+
+    T_eff = min(T, n_groups)
+    if (
+        fused and eps is None and precision is _HI
+        and (interpret or group_omp_fused_supported(
+            D.shape[0], n_groups, gs, T_eff
+        ))
+    ):
+        N = X.shape[1]
+        # block=256 measured best on chip (b512/b1024 were 0.7-0.87x of
+        # it at K=1024/gs=4/T=4/N=32k): the kernel is VPU-issue bound on
+        # its ~3000 (1, Nb) row ops per step (1/8 sublane utilization),
+        # not bandwidth bound — wider blocks don't help.  A/B through
+        # this route: 520k vs 320k patches/s XLA scan = 1.62x
+        # (benchmarks/ab_group_fused.py, results/group_omp_fused.json)
+        block = 256 if not interpret else min(256, max(8, N))
+        idx_f, gam_f, err_f, nsel_f, _ = group_omp_fused(
+            D, X, groups_np, T_eff, block=block, interpret=interpret,
+        )
+        res = GreedyResult(idx_f, jnp.asarray(gam_f), err_f,
+                           (nsel_f * gs).astype(jnp.int32))
+        if not dense:
+            return res
+        K = D.shape[1]
+        C = jnp.zeros((N, K), D.dtype).at[
+            jnp.arange(N)[:, None], res.idx
+        ].add(res.gamma)
+        return C.T
     members = np.zeros((n_groups, gs), np.int32)
     mmask = np.zeros((n_groups, gs), bool)
     for g in range(n_groups):

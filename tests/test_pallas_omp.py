@@ -134,3 +134,50 @@ def test_fused_wrapper_pads_odd_shapes_bitwise(rng):
     dense = _omp_fused_call(Df, Xf, T=4, eps=0.0, eps_mode=False,
                             dense=True, interpret=True)
     assert dense.shape == (100, 100)
+
+
+def test_group_omp_fused_interpret_matches_xla(rng):
+    # the fused group-OMP kernel (ops/pallas_group.py) vs the XLA scan,
+    # via the public route in interpret mode (r4)
+    from lyssandra_tpu.solvers.greedy import group_omp
+
+    p, K, N, gs, T = 16, 64, 48, 4, 3
+    D = rng.standard_normal((p, K))
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    X = rng.standard_normal((p, N)).astype(np.float32)
+    groups = np.repeat(np.arange(K // gs), gs)
+    ref = np.asarray(group_omp(D, X, groups, T, fused=False))
+    out = np.asarray(group_omp(D, X, groups, T, fused=True,
+                               interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_group_omp_fused_ragged_groups(rng):
+    # uneven group sizes exercise the padded member slots
+    from lyssandra_tpu.solvers.greedy import group_omp
+
+    p, K, N, T = 16, 62, 40, 3
+    D = rng.standard_normal((p, K))
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    X = rng.standard_normal((p, N)).astype(np.float32)
+    groups = np.minimum(np.arange(K) // 4, 14)   # last group has 6 atoms
+    ref = np.asarray(group_omp(D, X, groups, T, fused=False))
+    out = np.asarray(group_omp(D, X, groups, T, fused=True,
+                               interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_group_omp_fused_compact(rng):
+    from lyssandra_tpu.solvers.greedy import group_omp
+
+    p, K, N, gs, T = 16, 64, 40, 4, 2
+    D = rng.standard_normal((p, K))
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    X = rng.standard_normal((p, N)).astype(np.float32)
+    groups = np.repeat(np.arange(K // gs), gs)
+    res = group_omp(D, X, groups, T, fused=True, interpret=True,
+                    dense=False)
+    dense = np.asarray(group_omp(D, X, groups, T, fused=False))
+    np.testing.assert_allclose(
+        np.asarray(res.dense(K)), dense, atol=1e-4
+    )
