@@ -190,3 +190,60 @@ def test_denoise_adaptive_beats_dct(rng):
     p_ad = oracle.psnr(np.asarray(den_ad, np.float64), img)
     assert p_ad > p_dct - 0.1, (p_ad, p_dct)
     assert p_ad > oracle.psnr(np.asarray(noisy, np.float64), img)
+
+
+def test_eps_two_phase_device_resident_straggler_loop(rng):
+    """The device-resident two-phase coder (apps.denoise._eps_two_phase)
+    equals the single-pass XLA eps solve — including when the straggler
+    while_loop must actually run (T1 chosen too small, cap smaller than
+    the straggler count so it takes multiple compaction rounds)."""
+    from lyssandra_tpu.apps.denoise import _eps_two_phase
+    from lyssandra_tpu.solvers.greedy import _omp_impl, _HI
+
+    p, K, N, T_max = 16, 64, 96, 6
+    D = rng.standard_normal((p, K)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    # signals built from 4-6 atoms so a T1=2 first pass leaves many
+    # lanes unconverged
+    G0 = np.zeros((K, N), np.float32)
+    for i in range(N):
+        sup = rng.choice(K, size=4 + (i % 3), replace=False)
+        G0[sup, i] = rng.standard_normal(len(sup))
+    X = (D @ G0).astype(np.float32)
+    eps = 1e-3
+    ref = np.asarray(
+        _omp_impl(jnp.asarray(D), jnp.asarray(X), eps, T=T_max,
+                  eps_mode=True, precision=_HI).dense(K)
+    )
+    out = np.asarray(
+        _eps_two_phase(jnp.asarray(D), jnp.asarray(X), eps=eps, T1=2,
+                       T_max=T_max, cap=16, interpret=True)
+    )
+    # sanity: the loop genuinely had stragglers to fix
+    assert (np.abs(out).astype(bool).sum(0) > 2).any()
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_eps_two_phase_no_stragglers(rng):
+    """Common case: every lane converges in phase 1 (zero loop trips)."""
+    from lyssandra_tpu.apps.denoise import _eps_two_phase
+    from lyssandra_tpu.solvers.greedy import _omp_impl, _HI
+
+    p, K, N, T_max = 16, 64, 64, 12
+    D = rng.standard_normal((p, K)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    G0 = np.zeros((K, N), np.float32)
+    for i in range(N):
+        sup = rng.choice(K, size=3, replace=False)
+        G0[sup, i] = rng.standard_normal(3)
+    X = (D @ G0).astype(np.float32)
+    eps = 1e-3
+    ref = np.asarray(
+        _omp_impl(jnp.asarray(D), jnp.asarray(X), eps, T=12,
+                  eps_mode=True, precision=_HI).dense(K)
+    )
+    out = np.asarray(
+        _eps_two_phase(jnp.asarray(D), jnp.asarray(X), eps=eps, T1=10,
+                       T_max=12, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4)
