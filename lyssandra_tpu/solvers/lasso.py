@@ -287,11 +287,60 @@ def _fs_init(A0, lam, A):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_active", "n_warm"))
+def _fs_warm_init(D, Dt, Xt, A0, lam, *, max_active, n_warm):
+    """Feature-sign state warm-started from an ``n_warm``-iteration FISTA
+    run (device-side; no host traffic).
+
+    Why this wins: feature-sign activates ONE atom per outer iteration,
+    so a cold start on a lane whose solution has s nonzeros needs >= s
+    outer iterations — and the outer iteration (active-set CG + line
+    search + KKT) is the entire cost at scale (profile_fs.json: segment 0
+    is 98% of runtime, stragglers are not).  A short FISTA run costs two
+    thin matmuls per iteration and lands on (most of) the true support;
+    feature-sign then only refines: spurious atoms deactivate inside one
+    inner loop, missed atoms join one per outer step, and the final KKT
+    check certifies the SAME optimum (the lasso minimizer is unique under
+    general position — tests pin objective parity with the cold path).
+    """
+    N, K = A0.shape
+    A = max_active
+    G0 = _fista_body(D, Xt.T, A0.T, lam, jnp.zeros((K, N), A0.dtype),
+                     n_warm)
+    G0t = G0.T                                        # (N, K)
+    kk = min(A, K)                     # capacity can exceed tiny K
+    vals, idx = lax.top_k(jnp.abs(G0t), kk)           # (N, kk) distinct
+    if kk < A:
+        vals = jnp.pad(vals, ((0, 0), (0, A - kk)))
+        idx = jnp.pad(idx, ((0, 0), (0, A - kk)))
+    idx = idx.astype(jnp.int32)
+    mask = vals > 1e-12
+    gact = jnp.where(mask,
+                     jnp.take_along_axis(G0t, idx, axis=1), 0.0)
+    theta = jnp.where(mask, jnp.sign(gact), 0.0)
+    # gradient at the REPRESENTABLE warm point (beyond-capacity atoms
+    # dropped by top_k), consistent with the carried-gr invariant
+    gfull = jnp.zeros((N, K), A0.dtype).at[
+        jnp.arange(N)[:, None], idx
+    ].add(jnp.where(mask, gact, 0.0))
+    R = jnp.matmul(gfull, Dt, precision=_HI) - Xt
+    gr = 2.0 * jnp.matmul(R, Dt.T, precision=_HI)
+    # lanes where g = 0 is optimal may be declared done immediately ONLY
+    # if their warm state is actually zero (a done lane keeps its state)
+    done0 = jnp.all(2.0 * jnp.abs(A0) <= lam + 1e-12, axis=1) & ~jnp.any(
+        mask, axis=1
+    )
+    return (
+        idx, mask, theta, gact, gr, done0,
+        jnp.zeros((N,), bool), jnp.zeros((), jnp.int32),
+    )
+
+
 def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 100, max_inner: int = 20,
     full_result: bool = False, polish: bool = True,
-    compact_stragglers: bool = False,
+    compact_stragglers: bool = False, warm_start: int = 40,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -317,6 +366,12 @@ def feature_sign(
     per-segment host fetch + narrow-shape compiles cost MORE than they
     save (0.91x).  Off by default; opt in for straggler-heavy regimes
     (small lam / dense solutions where the tail runs many segments).
+
+    ``warm_start``: iterations of a device-side FISTA run whose solution
+    seeds the active set (0 = cold start, the oracle's literal path).
+    Same optimum either way — the KKT exit conditions are identical and
+    the lasso minimizer is path-independent; only the iteration count
+    changes (see _fs_warm_init).
     """
     import numpy as np
 
@@ -334,7 +389,13 @@ def feature_sign(
     # host round-trip over the device tunnel (round-1 bottleneck).
     seg = min(16, max_iter)
     n_segs = (max_iter + seg - 1) // seg
-    state = _fs_init(A0, float(lam), max_active)
+    if warm_start and warm_start > 0:
+        state = _fs_warm_init(
+            D, Dt, Xt, A0, float(lam),
+            max_active=max_active, n_warm=int(warm_start),
+        )
+    else:
+        state = _fs_init(A0, float(lam), max_active)
     state, res = _feature_sign_impl(
         Dt, Xt, A0, float(lam), state,
         max_active=max_active, max_iter=seg, max_inner=max_inner,
@@ -417,6 +478,7 @@ lasso = feature_sign
 def feature_sign_scan(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 60, max_inner: int = 20,
+    warm_start: int = 40,
 ) -> jax.Array:
     """Pure (traceable) feature-sign: one bounded while_loop, no host
     round-trips — safe to call inside ``lax.scan`` bodies (the online-DL
@@ -425,7 +487,13 @@ def feature_sign_scan(
     on-device.  Returns Gamma (K, N)."""
     Dt, Xt = D.T, X.T
     A0 = jnp.matmul(X.T, D, precision=_HI)
-    state = _fs_init(A0, lam, max_active)
+    if warm_start and warm_start > 0:
+        state = _fs_warm_init(
+            D, Dt, Xt, A0, lam,
+            max_active=max_active, n_warm=int(warm_start),
+        )
+    else:
+        state = _fs_init(A0, lam, max_active)
     _, res = _fs_loop(
         Dt, Xt, A0, lam, state,
         max_active=max_active, max_iter=max_iter, max_inner=max_inner,

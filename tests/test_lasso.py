@@ -257,3 +257,17 @@ def test_encoder_lasso_and_lars_routes(rng):
             _objective(D, X, out, lam), o_ref, rtol=1e-3, atol=1e-4,
             err_msg=alg,
         )
+
+
+def test_feature_sign_warm_start_same_optimum(rng):
+    """FISTA-warm-started feature-sign reaches the same (unique) optimum
+    as the cold start, in fewer outer iterations."""
+    D, X, _ = make_problem(rng, p=24, K=64, N=48, T=5)
+    lam = 0.15
+    cold = feature_sign(D, X, lam, warm_start=0, full_result=True)
+    warm = feature_sign(D, X, lam, warm_start=40, full_result=True)
+    assert bool(np.asarray(warm.done).all())
+    o_cold = _objective(D, X, np.asarray(cold.Gamma, np.float64), lam)
+    o_warm = _objective(D, X, np.asarray(warm.Gamma, np.float64), lam)
+    np.testing.assert_allclose(o_warm, o_cold, rtol=1e-5, atol=1e-5)
+    assert int(warm.n_iter) <= int(cold.n_iter)
