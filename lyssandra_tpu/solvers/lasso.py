@@ -91,11 +91,15 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
             cand_score, istar[:, None], 1
         )[:, 0] > lam * (1.0 + 1e-4) + 1e-7
 
-        # first free slot (mask False); overflow if none
+        # first free slot (mask False); a lane with no free slot skips
+        # activation this step but still refines — refinement prunes
+        # atoms, so "full at entry" is NOT terminal.  Overflow is decided
+        # AFTER the inner loop (see below); the old entry-time freeze
+        # locked warm-started lanes with transiently-full slots into the
+        # dense polish path (config4 r4 regression).
         free = jnp.argmin(mask.astype(jnp.int32), axis=1).astype(jnp.int32)
         no_free = jnp.all(mask, axis=1)
         activate = has_cand & ~done & ~no_free
-        ovf = overflow | (has_cand & no_free & ~done)
 
         slot_hot = jax.nn.one_hot(free, A, dtype=bool) & activate[:, None]
         idx2 = jnp.where(slot_hot, istar[:, None], idx)
@@ -228,11 +232,18 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
         is_act3 = jnp.zeros((N, K), bool).at[
             jnp.arange(N)[:, None], idx2
         ].max(mask3)
-        opt = jnp.all(
+        inact_viol3 = (
             jnp.where(is_act3, 0.0, jnp.abs(gr3))
-            <= lam * (1.0 + 1e-4) + 1e-7,
-            axis=1,
-        ) & ~kkt_not_opt(mask3, theta3, gact3, tol=1e-4)
+            > lam * (1.0 + 1e-4) + 1e-7
+        )
+        opt = ~jnp.any(inact_viol3, axis=1) & ~kkt_not_opt(
+            mask3, theta3, gact3, tol=1e-4
+        )
+        # terminal overflow: POST-refinement the lane still wants a new
+        # atom and has no slot for it — growth is genuinely blocked
+        ovf = overflow | (
+            jnp.any(inact_viol3, axis=1) & jnp.all(mask3, axis=1) & ~done
+        )
         done2 = done | opt | ovf
 
         # frozen lanes keep previous state
@@ -315,6 +326,18 @@ def _fs_warm_init(D, Dt, Xt, A0, lam, *, max_active, n_warm):
         idx = jnp.pad(idx, ((0, 0), (0, A - kk)))
     idx = idx.astype(jnp.int32)
     mask = vals > 1e-12
+    # Per-lane gate: the warm support is only usable when FISTA actually
+    # FOUND a small support.  On coherent dictionaries (e.g. a
+    # partially-trained online-DL dict at config-4 shape) the 40-iteration
+    # iterate is still dense — ~190 nonzeros/lane with no magnitude
+    # separation vs the true optimum's ~7 (measured) — and seeding top-A
+    # junk atoms fills every slot, freezing lanes as overflow before
+    # refinement can prune (avg_nnz 4.5 -> 65 regression, config4 r4).
+    # Such lanes fall back to a cold start; lanes whose FISTA support fits
+    # with headroom keep the 1.9x warm win (ab_fs_warm.json).
+    nnz_lane = jnp.sum(jnp.abs(G0t) > 1e-12, axis=1)
+    lane_ok = nnz_lane <= jnp.asarray(A - max(1, A // 8), jnp.int32)
+    mask = mask & lane_ok[:, None]
     gact = jnp.where(mask,
                      jnp.take_along_axis(G0t, idx, axis=1), 0.0)
     theta = jnp.where(mask, jnp.sign(gact), 0.0)

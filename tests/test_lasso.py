@@ -271,3 +271,34 @@ def test_feature_sign_warm_start_same_optimum(rng):
     o_warm = _objective(D, X, np.asarray(warm.Gamma, np.float64), lam)
     np.testing.assert_allclose(o_warm, o_cold, rtol=1e-5, atol=1e-5)
     assert int(warm.n_iter) <= int(cold.n_iter)
+
+
+def test_feature_sign_warm_start_coherent_dictionary(rng):
+    """Regression (config4 r4): on a COHERENT dictionary the n_warm-step
+    FISTA iterate is still dense, and an ungated warm start filled every
+    active-set slot — lanes then froze as 'overflow' before refinement
+    could prune, falling to the dense polish (avg_nnz 4.5 -> 65).  The
+    warm init must gate such lanes back to a cold start and the solver
+    must reach the cold optimum with no overflow flags."""
+    p, K, N = 32, 128, 64
+    base = rng.standard_normal((p, 4))
+    D = np.repeat(base, K // 4, axis=1) + 0.15 * rng.standard_normal((p, K))
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    D = D.astype(np.float32)
+    G_true = np.zeros((K, N))
+    for n in range(N):
+        sup = rng.choice(K, size=4, replace=False)
+        G_true[sup, n] = rng.standard_normal(4)
+    X = (D @ G_true + 0.01 * rng.standard_normal((p, N))).astype(np.float32)
+    lam = 0.1
+    cold = feature_sign(D, X, lam, warm_start=0, max_active=16,
+                        full_result=True)
+    warm = feature_sign(D, X, lam, warm_start=40, max_active=16,
+                        full_result=True)
+    assert not bool(np.asarray(warm.overflow).any())
+    assert bool(np.asarray(warm.done).all())
+    o_cold = _objective(D, X, np.asarray(cold.Gamma, np.float64), lam)
+    o_warm = _objective(D, X, np.asarray(warm.Gamma, np.float64), lam)
+    np.testing.assert_allclose(o_warm, o_cold, rtol=1e-4, atol=1e-4)
+    nnz = (np.abs(np.asarray(warm.Gamma)) > 1e-10).sum(axis=0)
+    assert nnz.mean() < 16
