@@ -143,7 +143,10 @@ def main(quick=False):
 
     ts = jnp.linspace(0.0, 1.0, A + 1)[None, :].repeat(Nb, 0)
 
-    def linesearch_step(gact):
+    def linesearch_r4_step(gact):
+        # the PRE-r5 line search: every candidate evaluated against the
+        # active Gram — (A+1) Gram matvecs per refinement.  Kept as a
+        # probe so the r5 rewrite's win stays measured.
         gnew = gact * 0.7
         diff = gnew - gact
         gt = gact[:, None, :] + ts[..., None] * diff[:, None, :]
@@ -153,7 +156,44 @@ def main(quick=False):
         best = jnp.argmin(quad, axis=1)
         return gact + 1e-6 * best[:, None].astype(jnp.float32)
 
-    out["phase_linesearch_ms"] = repeat_ms(linesearch_step, rhs)
+    out["phase_linesearch_r4_ms"] = repeat_ms(linesearch_r4_step, rhs)
+
+    def linesearch_r5_step(st):
+        # the r5 form (solvers/lasso.py inner_step) at steady state: Hg
+        # is CARRIED (maintained by affine updates along the accepted
+        # segment), so a refinement costs ONE exact Gram matvec (Hnew)
+        # plus two dot products; only the piecewise-linear l1 term is
+        # evaluated per candidate — vs A+1 Gram matvecs in the r4 form.
+        gact, Hg = st
+        gnew = gact * 0.7
+        Hnew = jnp.einsum("nab,nb->na", M, gnew,
+                          precision=jax.lax.Precision.HIGHEST)
+        diff, Hd = gnew - gact, Hnew - Hg
+        b = 2.0 * jnp.einsum("na,na->n", diff, Hg,
+                             precision=jax.lax.Precision.HIGHEST)
+        c = jnp.einsum("na,na->n", diff, Hd,
+                       precision=jax.lax.Precision.HIGHEST)
+        l1 = jnp.sum(
+            jnp.abs(gact[:, None, :] + ts[..., None] * diff[:, None, :]),
+            axis=2,
+        )
+        obj = ts * b[:, None] + ts * ts * c[:, None] + LAM * l1
+        best = jnp.argmin(obj, axis=1)
+        tb = (best.astype(jnp.float32) / (A + 1.0))[:, None]
+        return (gact + tb * diff, Hg + tb * Hd)
+
+    Hg0 = jnp.einsum("nab,nb->na", M, rhs,
+                     precision=jax.lax.Precision.HIGHEST)
+    f_r5 = jax.jit(
+        lambda st: jax.lax.scan(
+            lambda c, _: (linesearch_r5_step(c), None), st, None,
+            length=REPS,
+        )[0]
+    )
+    _sync(f_r5((rhs, Hg0))[0])
+    out["phase_linesearch_r5_ms"] = (
+        1e3 * _best_of(lambda: _sync(f_r5((rhs, Hg0))[0])) / REPS
+    )
 
     # ---- 2. convergence profile: per-segment done counts + time --------
     state = _fs_init(A0, LAM, A)

@@ -114,17 +114,23 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
         M = jnp.einsum("nap,nbp->nab", Dact, Dact, precision=_HI)
         a0all = jnp.einsum("nap,np->na", Dact, Xt, precision=_HI)
 
-        def kkt_not_opt(mask, theta, gact, tol=5e-6):
+        def active_mv(g):
+            # Hg := M @ (g * mask); with g masked this is the active-set
+            # Gram matvec.  precision matters: DEFAULT lowers to bf16 on
+            # TPU and floors downstream violation estimates at ~1e-3 —
+            # lanes then never pass the 1e-4 done check (measured: 87% of
+            # lanes stuck at max_iter)
+            return jnp.einsum("nab,nb->na", M, g, precision=_HI)
+
+        def kkt_from_H(mask, theta, Hg, tol=5e-6):
+            # active-set KKT residual from the CACHED matvec Hg = M@g:
+            # grad_A = 2 (mask*(Hg - a0)); the inner loop maintains Hg by
+            # affine updates of exact matvecs (drift from zeroing <1e-12
+            # coefficients at deactivation is <=~1e-10, far below tol)
             maskf = mask.astype(A0.dtype)
-            Mm = M * maskf[:, :, None] * maskf[:, None, :]
-            # precision matters: DEFAULT lowers to bf16 on TPU and floors
-            # the violation estimate at ~1e-3 — lanes then never pass the
-            # 1e-4 done check (measured: 87% of lanes stuck at max_iter)
-            grA = 2.0 * (
-                jnp.einsum("nab,nb->na", Mm, gact, precision=_HI)
-                - a0all * maskf
-            )
-            viol = jnp.abs(grA + lam * theta) * maskf
+            viol = jnp.abs(
+                2.0 * (Hg - a0all) * maskf + lam * theta
+            ) * maskf
             return jnp.any(viol > tol, axis=1) & jnp.any(mask, axis=1)
 
         def masked_solve(maskf, rhs, gwarm):
@@ -165,14 +171,23 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
 
         def inner_step(st):
             """One feature-sign refinement over the active set."""
-            mask, theta, gact, iref, _ = st
+            mask, theta, gact, Hg, iref, _ = st
             maskf = mask.astype(A0.dtype)
             a0sel = a0all * maskf
             rhs = (a0sel - lam * theta / 2.0) * maskf
             gnew = masked_solve(maskf, rhs, gact)
+            Hnew = active_mv(gnew)          # the step's ONE exact matvec
 
-            # discrete line search over zero crossings of g + t (gnew - g)
+            # discrete line search over zero crossings of g + t (gnew - g):
+            # along the segment the smooth part is the 1-D quadratic
+            #   q(t) = t * (-2 diff.a0 + 2 diff.Hg) + t^2 * diff.Hd
+            # (offset obj(0) dropped — same argmin), so the old 65-matvec
+            # einsum("nab,ncb->nca") collapses to two dot products against
+            # the cached matvecs (r5: line search was ~30% of the inner
+            # step at the config-4 shape); only the piecewise-linear l1
+            # term is evaluated per candidate.
             diff = gnew - gact
+            Hd = Hnew - Hg
             tcross = jnp.where(
                 jnp.abs(diff) > 1e-15, -gact / jnp.where(
                     jnp.abs(diff) > 1e-15, diff, 1.0
@@ -184,38 +199,39 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
                  jnp.where(valid_t, tcross, 1.0)],
                 axis=1,
             )                                                # (N, A+1)
-            gt = gact[:, None, :] + ts[..., None] * diff[:, None, :]
-            # obj(t) = ||x||^2 - 2 g.a0 + g^T M g + lam |g|_1 (const dropped;
-            # gt is zero on inactive slots, so the unmasked M suffices).
-            # The quadratic is contracted in TWO steps: the one-shot
-            # einsum("nca,nab,ncb->nc") lets XLA materialize an
-            # (N, A+1, A, A) intermediate — 35 GB at 32k lanes, which
-            # OOM-crashed the TPU worker (solver_sweep r3); the staged
-            # form peaks at (N, A+1, A), same math.
-            lin = -2.0 * jnp.einsum("nca,na->nc", gt, a0sel, precision=_HI)
-            Mg = jnp.einsum("nab,ncb->nca", M, gt, precision=_HI)
-            quad = jnp.sum(gt * Mg, axis=2)
-            l1 = lam * jnp.sum(jnp.abs(gt) * maskf[:, None, :], axis=2)
-            obj = lin + quad + l1
+            b = 2.0 * (
+                jnp.einsum("na,na->n", diff, Hg, precision=_HI)
+                - jnp.einsum("na,na->n", diff, a0sel, precision=_HI)
+            )
+            c = jnp.einsum("na,na->n", diff, Hd, precision=_HI)
+            l1 = jnp.sum(
+                jnp.abs(gact[:, None, :] + ts[..., None] * diff[:, None, :])
+                * maskf[:, None, :],
+                axis=2,
+            )
+            obj = ts * b[:, None] + ts * ts * c[:, None] + lam * l1
             best = jnp.argmin(obj, axis=1)
-            gbest = jnp.take_along_axis(gt, best[:, None, None], axis=1)[:, 0]
+            tbest = jnp.take_along_axis(ts, best[:, None], axis=1)[:, 0]
+            gbest = gact + tbest[:, None] * diff
+            Hbest = Hg + tbest[:, None] * Hd
 
             # deactivate zeroed coefficients
             nz = jnp.abs(gbest) >= 1e-12
             mask2 = mask & nz
             gact2 = jnp.where(mask2, gbest, 0.0)
             theta2 = jnp.where(mask2, jnp.sign(gbest), 0.0)
-            return (mask2, theta2, gact2, iref + 1,
-                    kkt_not_opt(mask2, theta2, gact2))
+            return (mask2, theta2, gact2, Hbest, iref + 1,
+                    kkt_from_H(mask2, theta2, Hbest))
 
         def inner_cond(st):
-            _, _, _, iref, not_opt = st
+            *_, iref, not_opt = st
             return (iref < max_inner) & jnp.any(not_opt)
 
-        mask3, theta3, gact3, _, not_opt3 = lax.while_loop(
+        Hg0 = active_mv(gact2)
+        mask3, theta3, gact3, Hg3, _, not_opt3 = lax.while_loop(
             inner_cond, inner_step,
-            (mask2, theta2, gact2, jnp.zeros((), jnp.int32),
-             kkt_not_opt(mask2, theta2, gact2)),
+            (mask2, theta2, gact2, Hg0, jnp.zeros((), jnp.int32),
+             kkt_from_H(mask2, theta2, Hg0)),
         )
 
         # full KKT check: zero-coefficient condition AND active-set
@@ -236,8 +252,8 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
             jnp.where(is_act3, 0.0, jnp.abs(gr3))
             > lam * (1.0 + 1e-4) + 1e-7
         )
-        opt = ~jnp.any(inact_viol3, axis=1) & ~kkt_not_opt(
-            mask3, theta3, gact3, tol=1e-4
+        opt = ~jnp.any(inact_viol3, axis=1) & ~kkt_from_H(
+            mask3, theta3, Hg3, tol=1e-4
         )
         # terminal overflow: POST-refinement the lane still wants a new
         # atom and has no slot for it — growth is genuinely blocked
@@ -298,46 +314,92 @@ def _fs_init(A0, lam, A):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_active", "n_warm"))
+@functools.partial(jax.jit, static_argnames=("n_warm",))
+def _fs_fista_iterate(D, Xt, A0, lam, *, n_warm):
+    """The warm-start FISTA iterate G0^T (N, K), as its own jitted program
+    so the auto-capacity path can inspect it before committing to an
+    active-set width (see :func:`feature_sign`)."""
+    N, K = A0.shape
+    G0 = _fista_body(D, Xt.T, A0.T, lam, jnp.zeros((K, N), A0.dtype),
+                     n_warm)
+    return G0.T
+
+
+def _fs_sig_nnz(G0t):
+    """Per-lane count of SIGNIFICANT warm coefficients: |g| above 1e-3 of
+    the lane's max.  An unconverged FISTA iterate carries a tail of tiny
+    not-yet-rezeroed coefficients (measured: >1e-12 counts 3-10x the
+    dominant-support size), so raw nnz both overestimates the needed
+    capacity and wastes warm slots on junk; the relative cut matches the
+    support feature-sign actually keeps after one refinement."""
+    mx = jnp.max(jnp.abs(G0t), axis=1, keepdims=True)
+    tau = jnp.maximum(1e-3 * mx, 1e-12)
+    return jnp.sum(jnp.abs(G0t) > tau, axis=1), tau
+
+
 def _fs_warm_init(D, Dt, Xt, A0, lam, *, max_active, n_warm):
     """Feature-sign state warm-started from an ``n_warm``-iteration FISTA
     run (device-side; no host traffic).
 
-    Why this wins: feature-sign activates ONE atom per outer iteration,
-    so a cold start on a lane whose solution has s nonzeros needs >= s
-    outer iterations — and the outer iteration (active-set CG + line
-    search + KKT) is the entire cost at scale (profile_fs.json: segment 0
-    is 98% of runtime, stragglers are not).  A short FISTA run costs two
-    thin matmuls per iteration and lands on (most of) the true support;
-    feature-sign then only refines: spurious atoms deactivate inside one
-    inner loop, missed atoms join one per outer step, and the final KKT
-    check certifies the SAME optimum (the lasso minimizer is unique under
-    general position — tests pin objective parity with the cold path).
+    The idea: feature-sign activates ONE atom per outer iteration, so a
+    cold start on a lane whose solution has s nonzeros needs >= s outer
+    iterations.  A short FISTA run costs two thin matmuls per iteration
+    and lands on (most of) the true support; feature-sign then only
+    refines: spurious atoms deactivate inside one inner loop, missed
+    atoms join one per outer step, and the final KKT check certifies the
+    SAME optimum (the lasso minimizer is unique under general position —
+    tests pin objective parity with the cold path).
+
+    History: this won 1.9x in r4 (ab_fs_warm.json) when each saved outer
+    iteration cost a ~65-matvec line search; the r5 cached-matvec inner
+    step made outer iterations cheap enough that the seed is now a net
+    chip LOSS at every measured operating point (ab_fs_design.json) —
+    hence warm_start defaults to 0 and this path is opt-in.
     """
+    G0t = _fs_fista_iterate(D, Xt, A0, lam, n_warm=n_warm)
+    return _fs_warm_state(G0t, Dt, Xt, A0, lam, max_active=max_active)
+
+
+@functools.partial(jax.jit, static_argnames=("max_active", "gate"))
+def _fs_warm_state(G0t, Dt, Xt, A0, lam, *, max_active, gate=True):
+    """Build the feature-sign loop state from a precomputed warm iterate
+    G0t (N, K) — see :func:`_fs_warm_init` for the rationale and gating."""
     N, K = A0.shape
     A = max_active
-    G0 = _fista_body(D, Xt.T, A0.T, lam, jnp.zeros((K, N), A0.dtype),
-                     n_warm)
-    G0t = G0.T                                        # (N, K)
     kk = min(A, K)                     # capacity can exceed tiny K
     vals, idx = lax.top_k(jnp.abs(G0t), kk)           # (N, kk) distinct
     if kk < A:
         vals = jnp.pad(vals, ((0, 0), (0, A - kk)))
         idx = jnp.pad(idx, ((0, 0), (0, A - kk)))
     idx = idx.astype(jnp.int32)
-    mask = vals > 1e-12
-    # Per-lane gate: the warm support is only usable when FISTA actually
-    # FOUND a small support.  On coherent dictionaries (e.g. a
-    # partially-trained online-DL dict at config-4 shape) the 40-iteration
-    # iterate is still dense — ~190 nonzeros/lane with no magnitude
-    # separation vs the true optimum's ~7 (measured) — and seeding top-A
-    # junk atoms fills every slot, freezing lanes as overflow before
-    # refinement can prune (avg_nnz 4.5 -> 65 regression, config4 r4).
-    # Such lanes fall back to a cold start; lanes whose FISTA support fits
-    # with headroom keep the 1.9x warm win (ab_fs_warm.json).
-    nnz_lane = jnp.sum(jnp.abs(G0t) > 1e-12, axis=1)
-    lane_ok = nnz_lane <= jnp.asarray(A - max(1, A // 8), jnp.int32)
-    mask = mask & lane_ok[:, None]
+    nnz_lane, tau = _fs_sig_nnz(G0t)
+    # seed only SIGNIFICANT coefficients (see _fs_sig_nnz): the iterate's
+    # tiny unconverged tail is junk that wastes slots; a dropped true-
+    # support atom simply rejoins one per outer step
+    mask = vals > tau
+    if gate:
+        # Per-lane gate: the warm support is only usable when FISTA
+        # actually FOUND a small support.  On coherent dictionaries (e.g.
+        # a partially-trained online-DL dict at config-4 shape) the
+        # 40-iteration iterate is still dense — ~190 nonzeros/lane with
+        # no magnitude separation vs the true optimum's ~7 (measured) —
+        # and seeding top-A junk atoms both fills every slot (lanes froze
+        # as overflow before refinement could prune: avg_nnz 4.5 -> 65,
+        # config4 r4) and builds an ill-conditioned active Gram (CG blew
+        # up to obj ~1e36 in the r5 A/B).  Such lanes fall back to a cold
+        # start.
+        lane_ok = nnz_lane <= jnp.asarray(A - max(1, A // 8), jnp.int32)
+        mask = mask & lane_ok[:, None]
+    else:
+        # ungated (narrow-capacity path): seed the TOP few atoms only and
+        # keep join headroom — a small seed keeps the active Gram
+        # well-conditioned even on coherent dictionaries (r5 CPU A/B:
+        # A=16 ungated 3.2x over cold, 2/512 overflow lanes; the blow-up
+        # above only occurs when ~56 coherent atoms are seeded at once).
+        # Overflow is handled by the caller's exact full-capacity
+        # re-solve.
+        slot_cap = jnp.arange(A)[None, :] < (A - max(2, A // 8))
+        mask = mask & slot_cap
     gact = jnp.where(mask,
                      jnp.take_along_axis(G0t, idx, axis=1), 0.0)
     theta = jnp.where(mask, jnp.sign(gact), 0.0)
@@ -363,7 +425,8 @@ def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 100, max_inner: int = 20,
     full_result: bool = False, polish: bool = True,
-    compact_stragglers: bool = False, warm_start: int = 40,
+    compact_stragglers: bool = False, warm_start: int = 0,
+    auto_capacity: bool = False,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -394,7 +457,24 @@ def feature_sign(
     seeds the active set (0 = cold start, the oracle's literal path).
     Same optimum either way — the KKT exit conditions are identical and
     the lasso minimizer is path-independent; only the iteration count
-    changes (see _fs_warm_init).
+    changes (see _fs_warm_init).  DEFAULT 0 since r5: the warm start's
+    1.9x (r4, ab_fs_warm.json) was measured against the pre-r5 inner
+    step whose line search cost ~65 Gram matvecs per refinement; with
+    the cached-matvec inner step the outer iterations the warm start
+    saves are cheap, and FISTA-40 is pure overhead — warm LOSES 0.88x
+    (A=64) / 0.91x (A=16) on chip, on both incoherent and coherent
+    dictionaries (ab_fs_design.json).
+
+    ``auto_capacity``: run at a 16-slot active-set width and re-solve
+    lanes that overflow it exactly at ``max_active`` — same result (the
+    lasso optimum is capacity-independent once capacity covers the
+    support; pinned by test).  Default OFF: on chip the (N, 64, 64)
+    active-set einsums ride the MXU and the narrow width only shrinks
+    already-latency-bound ops while adding an overflow host sync —
+    measured 0.92-0.95x (ab_fs_design.json).  It is a big win on CPU
+    backends (5x at the config-4 probe shape: O(A^2) scalar matvec work
+    really does drop 16x) and cuts per-lane state memory 16x, so it
+    stays as the opt-in for CPU meshes and memory-bound regimes.
     """
     import numpy as np
 
@@ -412,16 +492,28 @@ def feature_sign(
     # host round-trip over the device tunnel (round-1 bottleneck).
     seg = min(16, max_iter)
     n_segs = (max_iter + seg - 1) // seg
+    # auto capacity (opt-in, see docstring): run the batch at 16 slots;
+    # lanes that genuinely need more overflow and are re-solved at full
+    # capacity below (exact — NOT the FISTA fallback), so the result
+    # matches the fixed-capacity path.  CPU-measured 5x at the config-4
+    # probe (O(A^2) scalar matvecs drop 16x); chip-measured 0.92-0.95x
+    # LOSS (the A=64 einsums are already latency-bound, see docstring).
+    # At the narrow width warm seeding engages ungated: a <=14-atom seed
+    # keeps the active Gram well-conditioned even on coherent
+    # dictionaries, where the count gate protecting 64-wide seeding
+    # rejects ~all lanes (see _fs_warm_state).
+    A_run = 16 if (auto_capacity and max_active > 16) else max_active
     if warm_start and warm_start > 0:
-        state = _fs_warm_init(
-            D, Dt, Xt, A0, float(lam),
-            max_active=max_active, n_warm=int(warm_start),
-        )
+        G0t = _fs_fista_iterate(D, Xt, A0, float(lam),
+                                n_warm=int(warm_start))
+        state = _fs_warm_state(G0t, Dt, Xt, A0, float(lam),
+                               max_active=A_run,
+                               gate=(A_run == max_active))
     else:
-        state = _fs_init(A0, float(lam), max_active)
+        state = _fs_init(A0, float(lam), A_run)
     state, res = _feature_sign_impl(
         Dt, Xt, A0, float(lam), state,
-        max_active=max_active, max_iter=seg, max_inner=max_inner,
+        max_active=A_run, max_iter=seg, max_inner=max_inner,
     )
     lanes = None            # narrow-batch lane ids (None = full width)
     Xt_n, A0_n = Xt, A0
@@ -462,7 +554,7 @@ def feature_sign(
                 )
         state, res_n = _feature_sign_impl(
             Dt, Xt_n, A0_n, float(lam), state,
-            max_active=max_active, max_iter=seg, max_inner=max_inner,
+            max_active=A_run, max_iter=seg, max_inner=max_inner,
         )
         if lanes is None:
             res = res_n
@@ -478,6 +570,33 @@ def feature_sign(
                     res_n.overflow[:nb]
                 ),
             )
+    if A_run < max_active and bool(jnp.any(res.overflow)):
+        # reduced-capacity overflow is OUR artifact, not the problem's:
+        # re-solve those lanes exactly at the full requested capacity
+        # (padded to a power-of-two width to bound compile shapes)
+        ovf = np.asarray(res.overflow)
+        cols = np.where(ovf)[0]
+        nb = len(cols)
+        width = 256
+        while width < nb:
+            width *= 2
+        width = min(width, N)
+        sel = np.zeros(width, np.int64)
+        sel[:nb] = cols
+        selj = jnp.asarray(sel)
+        sub = feature_sign(
+            D, X[:, selj], lam,
+            max_active=max_active, max_iter=max_iter,
+            max_inner=max_inner, full_result=True, polish=False,
+            warm_start=warm_start, auto_capacity=False,
+        )
+        colsj = jnp.asarray(cols)
+        res = FeatureSignResult(
+            res.Gamma.at[:, colsj].set(sub.Gamma[:, :nb]),
+            res.n_iter,
+            res.done.at[colsj].set(sub.done[:nb]),
+            res.overflow.at[colsj].set(sub.overflow[:nb]),
+        )
     if polish and bool(jnp.any(~res.done | res.overflow)):
         Gf = fista(D, X, lam, n_iter=500)
 
@@ -501,13 +620,15 @@ lasso = feature_sign
 def feature_sign_scan(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 60, max_inner: int = 20,
-    warm_start: int = 40,
+    warm_start: int = 0,
 ) -> jax.Array:
     """Pure (traceable) feature-sign: one bounded while_loop, no host
     round-trips — safe to call inside ``lax.scan`` bodies (the online-DL
     epoch scan codes every minibatch on-device with this).  Unconverged
     lanes after ``max_iter`` are finished with a short FISTA polish, also
-    on-device.  Returns Gamma (K, N)."""
+    on-device.  Returns Gamma (K, N).  ``warm_start`` defaults to 0 for
+    the same chip-measured reason as :func:`feature_sign` (the FISTA
+    seed no longer pays against the cached-matvec inner step)."""
     Dt, Xt = D.T, X.T
     A0 = jnp.matmul(X.T, D, precision=_HI)
     if warm_start and warm_start > 0:

@@ -302,3 +302,31 @@ def test_feature_sign_warm_start_coherent_dictionary(rng):
     np.testing.assert_allclose(o_warm, o_cold, rtol=1e-4, atol=1e-4)
     nnz = (np.abs(np.asarray(warm.Gamma)) > 1e-10).sum(axis=0)
     assert nnz.mean() < 16
+
+
+def test_feature_sign_auto_capacity_with_overflow_lanes(rng):
+    """Auto capacity: the batch runs at a 16-slot active-set width; the
+    few lanes that genuinely need more active atoms overflow the narrow
+    width and must be re-solved exactly at full capacity — the final
+    result must match the fixed-capacity path (same unique optimum),
+    with no surviving overflow flags."""
+    p, K, N = 32, 128, 512
+    D, X, _ = make_problem(rng, p=p, K=K, N=N, T=3, dtype=np.float32)
+    lam = 0.05
+    # two dense lanes: combinations of 40 atoms -> the lasso solution
+    # needs more than the 16 narrow-width slots
+    for n in (100, 300):
+        sup = rng.choice(K, size=40, replace=False)
+        g = rng.standard_normal(40) * 2.0
+        X[:, n] = (D[:, sup] @ g).astype(np.float32)
+
+    auto = feature_sign(D, X, lam, full_result=True, auto_capacity=True)
+    fixed = feature_sign(D, X, lam, full_result=True, auto_capacity=False)
+    assert bool(np.asarray(auto.done).all())
+    assert not bool(np.asarray(auto.overflow).any())
+    o_auto = _objective(D, X, np.asarray(auto.Gamma, np.float64), lam)
+    o_fixed = _objective(D, X, np.asarray(fixed.Gamma, np.float64), lam)
+    np.testing.assert_allclose(o_auto, o_fixed, rtol=1e-4, atol=1e-4)
+    # the dense lanes really exceeded the narrow width
+    nnz = (np.abs(np.asarray(auto.Gamma)) > 1e-10).sum(axis=0)
+    assert nnz[100] > 14 and nnz[300] > 14
