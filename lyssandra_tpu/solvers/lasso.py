@@ -700,7 +700,7 @@ def _lars_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps,
         return (it - it0 < max_steps) & ~jnp.all(done)
 
     st = lax.while_loop(cond, step, state)
-    idx, mask, theta, gact, lt, done, _ = st
+    idx, mask, theta, gact, _, lt, done, _ = st
     N, K = A0.shape
     Gd = jnp.zeros((N, K), A0.dtype).at[
         jnp.arange(N)[:, None], idx
@@ -718,7 +718,7 @@ def _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop):
     BIG = jnp.asarray(3.4e38, A0.dtype)
 
     def step(st):
-        idx, mask, theta, gact, lt, done, it = st
+        idx, mask, theta, gact, cgw, lt, done, it = st
         maskf = mask.astype(A0.dtype)
         Dact = jnp.take(Dt, idx, axis=0)                  # (N, A, p)
         M = jnp.einsum("nap,nbp->nab", Dact, Dact, precision=_HI)
@@ -731,41 +731,61 @@ def _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop):
         # (N, 64, 64) LU costs ~92 ms on this chip (measured, see
         # masked_solve note) and ran once per homotopy step; CG is exact
         # in <= A iterations and its einsum matvecs vectorize over the
-        # rhs axis — same anti-pattern fix as nn_omp's NNLS (r3)
+        # rhs axis — same anti-pattern fix as nn_omp's NNLS (r3).
+        # Early exit on the residual (r5): the active set holds ~s << A
+        # atoms for most of the path, where CG converges in ~s+1
+        # iterations — the fixed A+16 trip count spent >80% of its
+        # matvecs (the step's dominant M-bandwidth cost) after
+        # convergence.  The residual check is also the convergence
+        # guard ADVICE r1 asked for: a lane that does NOT converge
+        # still runs the full A+16 budget, exactly as before.
         rhs = jnp.stack([a0sel, theta / 2.0], axis=-1)       # (N, A, 2)
 
         def mv(v):
             return jnp.einsum("nab,nbr->nar", Mp, v, precision=_HI)
 
-        x0 = jnp.zeros_like(rhs)
+        # warm start from the previous knot's solution (r5): the active
+        # set changes by ONE atom per homotopy event, so the previous
+        # (c_A, w_A) is within a rank-1 correction of the new solution
+        # and the early-exit CG converges in a few matvecs instead of ~s
+        x0 = cgw * maskf[:, :, None]
         r0 = rhs - mv(x0)
 
-        def cg(carry, _):
-            x, r, pv, rs = carry
+        def cg_step(carry):
+            x, r, pv, rs, i = carry
             Mpv = mv(pv)
             al = rs / (jnp.sum(pv * Mpv, axis=1) + 1e-30)    # (N, 2)
             x = x + al[:, None, :] * pv
             r = r - al[:, None, :] * Mpv
             rs2 = jnp.sum(r * r, axis=1)
             pv = r + (rs2 / (rs + 1e-30))[:, None, :] * pv
-            return (x, r, pv, rs2), None
+            return (x, r, pv, rs2, i + 1)
 
-        (sol, *_), _ = lax.scan(
-            cg, (x0, r0, r0, jnp.sum(r0 * r0, axis=1)), None,
-            length=A + 16,
+        def cg_cond(carry):
+            *_, rs, i = carry
+            return (i < A + 16) & jnp.any(rs > 1e-12)
+
+        sol, *_ = lax.while_loop(
+            cg_cond, cg_step,
+            (x0, r0, r0, jnp.sum(r0 * r0, axis=1),
+             jnp.zeros((), jnp.int32)),
         )
         cA = sol[..., 0] * maskf            # g at lt = 0
         wA = sol[..., 1] * maskf            # dg/dlt (negated)
 
         # inactive correlations, linear in lt: corr_j(lt) = u_j + lt*v_j,
-        # residual form: u = 2 d_j^T (x - D_A c), v = 2 d_j^T (D_A w)
+        # residual form: u = 2 d_j^T (x - D_A c), v = 2 d_j^T (D_A w).
+        # Both projections and both full-width correlation GEMMs are
+        # STACKED into one op each (r5): the separate matmuls were
+        # latency-bound at these shapes, so two dispatches cost ~2x one.
         is_act = jnp.zeros((N, K), bool).at[
             jnp.arange(N)[:, None], idx
         ].max(mask)
-        resid = Xt - jnp.einsum("na,nap->np", cA, Dact, precision=_HI)
-        u = 2.0 * jnp.matmul(resid, Dt.T, precision=_HI)
-        zw = jnp.einsum("na,nap->np", wA, Dact, precision=_HI)
-        v = 2.0 * jnp.matmul(zw, Dt.T, precision=_HI)
+        cw = jnp.stack([cA, wA], axis=1)                     # (N, 2, A)
+        zz = jnp.einsum("nra,nap->nrp", cw, Dact, precision=_HI)
+        rz = jnp.stack([Xt - zz[:, 0, :], zz[:, 1, :]], axis=1)
+        uv = 2.0 * jnp.einsum("nrp,pk->nrk", rz, Dt.T, precision=_HI)
+        u, v = uv[:, 0, :], uv[:, 1, :]
 
         # join events: u + lt*v = +-lt  =>  lt = u / (+-1 - v)
         ltp = u / jnp.maximum(1.0 - v, 1e-12)
@@ -851,6 +871,7 @@ def _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop):
         return (
             fz(idx2, idx), fz(mask3, mask), fz(theta3, theta),
             fz(gact3, gact),
+            jnp.where(done[:, None, None], cgw, sol),
             jnp.where(done, lt, lt_next),
             done | newly_done, it + 1,
         )
@@ -902,9 +923,9 @@ def _lars_path_impl(Dt, Xt, A0, lam, state, *, max_active, max_steps,
     step = _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop)
 
     def body(st, _):
-        _, mask0, _, _, lt0, done0, _ = st
+        _, mask0, _, _, _, lt0, done0, _ = st
         st2 = step(st)
-        idx, mask, _, gact, lt, done, _ = st2
+        idx, mask, _, gact, _, lt, done, _ = st2
         # an overdue-join healing step joins at UNCHANGED lambda: both
         # the knots it supersedes and itself are off-path (the late
         # joiner sits at 0 where the true path has it nonzero) — flag
@@ -935,8 +956,10 @@ def _lars_init(A0, lam, A):
         jnp.sign(jnp.take_along_axis(A0, k0[:, None], 1)[:, 0])
     )
     gact = jnp.zeros((N, A), A0.dtype)
+    cgw = jnp.zeros((N, A, 2), A0.dtype)    # CG warm start (c_A, w_A)
     done0 = lt0 <= lam          # target penalty at/above lambda_max: g = 0
-    return (idx, mask, theta, gact, lt0, done0, jnp.zeros((), jnp.int32))
+    return (idx, mask, theta, gact, cgw, lt0, done0,
+            jnp.zeros((), jnp.int32))
 
 
 def lars(
@@ -1038,7 +1061,7 @@ def lars_path(
         max_active = max(max_active, t_stop + 1)
     A0 = jnp.matmul(X.T, D, precision=_HI)
     state = _lars_init(A0, float(lam), max_active)
-    idx0, mask0, _, gact0, lt0, done0, _ = state
+    idx0, mask0, _, gact0, _, lt0, done0, _ = state
     _, (lts, gacts, idxs, masks, heals) = _lars_path_impl(
         D.T, X.T, A0, float(lam), state,
         max_active=max_active, max_steps=max_steps, t_stop=t_stop,

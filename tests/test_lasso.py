@@ -143,7 +143,12 @@ def test_lars_t_mode_vs_sklearn(rng):
         lam_star = np.abs(gr[:, n]).max()
         # knot KKT: every active atom sits on the |corr| = lam* boundary
         assert np.abs(np.abs(gr[act, n]) - lam_star).max() < 5e-3
-        assert (gr[act, n] * np.sign(g[act]) < 0).all()
+        # sign consistency only for MATERIALLY nonzero coefficients: a
+        # lane whose T-stop fires at a knot where another atom is AT its
+        # leave crossing carries that atom at +-fp-noise (~1e-8), whose
+        # sign is rounding luck, not a KKT violation
+        mat = np.abs(g) > 1e-6
+        assert (gr[mat, n] * np.sign(g[mat]) < 0).all()
         # lambda-matched sklearn comparison
         alphas, _, coefs = sk_lars_path(
             D, X[:, n], method="lasso", alpha_min=0.0
