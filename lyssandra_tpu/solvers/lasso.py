@@ -37,7 +37,8 @@ class FeatureSignResult(NamedTuple):
     overflow: jax.Array   # (N,) lane wanted > max_active active atoms
 
 
-def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
+def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner,
+             max_cg=32, n_activate=1):
     """Up to ``max_iter`` outer feature-sign iterations from ``state``.
 
     TPU lowering notes (all measured; see CLAUDE.md):
@@ -86,10 +87,15 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
         # of lanes to max_iter (measured on chip).  Ignoring a violation
         # of lam*(1+1e-4) costs O((|gr|-lam)^2) ~ 1e-8 lam^2 in objective.
         cand_score = jnp.where(is_active, -jnp.inf, jnp.abs(gr))
-        istar = jnp.argmax(cand_score, axis=1).astype(jnp.int32)
-        has_cand = jnp.take_along_axis(
-            cand_score, istar[:, None], 1
-        )[:, 0] > lam * (1.0 + 1e-4) + 1e-7
+        # activate the top-n_activate violators per outer iteration
+        # (n_activate=1 is the oracle's literal one-at-a-time path; the
+        # lasso minimizer is path-independent, so activating several at
+        # once reaches the SAME optimum in fewer straggler-ridden outer
+        # iterations — each candidate still individually clears the
+        # threshold, and refinement prunes any that shouldn't have
+        # joined).  The unrolled slot-placement loop below stays cheap:
+        # n_activate one_hot/argmin rounds of (N, A) bool ops.
+        vals, kstars = lax.top_k(cand_score, n_activate)   # (N, n_act)
 
         # first free slot (mask False); a lane with no free slot skips
         # activation this step but still refines — refinement prunes
@@ -97,16 +103,23 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
         # AFTER the inner loop (see below); the old entry-time freeze
         # locked warm-started lanes with transiently-full slots into the
         # dense polish path (config4 r4 regression).
-        free = jnp.argmin(mask.astype(jnp.int32), axis=1).astype(jnp.int32)
-        no_free = jnp.all(mask, axis=1)
-        activate = has_cand & ~done & ~no_free
-
-        slot_hot = jax.nn.one_hot(free, A, dtype=bool) & activate[:, None]
-        idx2 = jnp.where(slot_hot, istar[:, None], idx)
-        mask2 = mask | slot_hot
-        gr_at = jnp.take_along_axis(gr, istar[:, None], 1)[:, 0]
-        theta2 = jnp.where(slot_hot, -jnp.sign(gr_at)[:, None], theta)
-        gact2 = jnp.where(slot_hot, 0.0, gact)
+        idx2, mask2, theta2, gact2 = idx, mask, theta, gact
+        for j in range(n_activate):
+            kj = kstars[:, j].astype(jnp.int32)
+            has_cand = vals[:, j] > lam * (1.0 + 1e-4) + 1e-7
+            free = jnp.argmin(
+                mask2.astype(jnp.int32), axis=1
+            ).astype(jnp.int32)
+            no_free = jnp.all(mask2, axis=1)
+            activate = has_cand & ~done & ~no_free
+            slot_hot = (jax.nn.one_hot(free, A, dtype=bool)
+                        & activate[:, None])
+            idx2 = jnp.where(slot_hot, kj[:, None], idx2)
+            mask2 = mask2 | slot_hot
+            gr_at = jnp.take_along_axis(gr, kj[:, None], 1)[:, 0]
+            theta2 = jnp.where(slot_hot, -jnp.sign(gr_at)[:, None],
+                               theta2)
+            gact2 = jnp.where(slot_hot, 0.0, gact2)
 
         # idx is constant through the refinement loop: hoist the active-set
         # geometry (Dact -> M, a0sel) out of the while_loop
@@ -161,7 +174,7 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
 
             def cg_cond(st):
                 _, _, _, rs, i = st
-                return (i < 32) & jnp.any(rs > 1e-12)  # ||r|| > 1e-6
+                return (i < max_cg) & jnp.any(rs > 1e-12)  # ||r|| > 1e-6
 
             rs0 = jnp.einsum("na,na->n", r0, r0, precision=_HI)
             x, *_ = lax.while_loop(
@@ -282,10 +295,12 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_active", "max_iter", "max_inner")
+    jax.jit, static_argnames=("max_active", "max_iter", "max_inner",
+                              "max_cg", "n_activate")
 )
 def _feature_sign_impl(
-    Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner
+    Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner,
+    max_cg=32, n_activate=1,
 ):
     """One jitted SEGMENT of up to max_iter outer iterations from ``state``.
     Segmenting keeps each device program short — a single unbounded
@@ -294,6 +309,7 @@ def _feature_sign_impl(
     return _fs_loop(
         Dt, Xt, A0, lam, state,
         max_active=max_active, max_iter=max_iter, max_inner=max_inner,
+        max_cg=max_cg, n_activate=n_activate,
     )
 
 
@@ -423,10 +439,10 @@ def _fs_warm_state(G0t, Dt, Xt, A0, lam, *, max_active, gate=True):
 
 def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
-    *, max_active: int = 64, max_iter: int = 100, max_inner: int = 20,
+    *, max_active: int = 64, max_iter: int = 100, max_inner: int = 6,
     full_result: bool = False, polish: bool = True,
     compact_stragglers: bool = False, warm_start: int = 0,
-    auto_capacity: bool = False,
+    auto_capacity: bool = False, max_cg: int = 32, n_activate: int = 1,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -475,6 +491,29 @@ def feature_sign(
     backends (5x at the config-4 probe shape: O(A^2) scalar matvec work
     really does drop 16x) and cuts per-lane state memory 16x, so it
     stays as the opt-in for CPU meshes and memory-bound regimes.
+
+    ``n_activate`` / ``max_cg``: activation width (top-k KKT violators
+    join per outer iteration instead of one) and inner CG matvec budget.
+    Same optimum at every setting (path-independence + unchanged KKT
+    exit; pinned by test).  Defaults 1/32 follow the chip A/B at the
+    config-4 operating point (ab_fs_activate.json, r6): there
+    multi-activation LOSES 3.6-6.9x — on a data dictionary the 2nd..kth
+    threshold-clearing candidates are usually junk that joins, prunes,
+    and re-joins (limit-cycle churn) — and cg12 is a mild 0.96x.  On the
+    COHERENT regime (duplicated atoms, e.g. partially-trained online-DL
+    dictionaries) the same knobs flip: n_activate=4, max_cg=12 is 2.17x
+    (any of a duplicate group is a good join, and the capped warm CG
+    stops paying for one straggler lane's ill-conditioned active Gram).
+    Opt in when the dictionary is known coherent.
+
+    ``max_inner`` defaults to 6 (r6, ab_fs_inner.json): the inner
+    refinement while_loop rides each block's slowest lane, and past ~6
+    refinements the survivors are limit-cyclers that the NEXT outer
+    iteration (fresh activation + full KKT check) handles better —
+    +4.6% at the config-4 operating point, 1.49x on the coherent
+    regime, identical optima.  max_inner=3 over-trims (a fresh
+    activation genuinely needs a few refinements to settle: 0.65x at
+    config-4), and 10-20 only pay straggler tax.
     """
     import numpy as np
 
@@ -514,6 +553,7 @@ def feature_sign(
     state, res = _feature_sign_impl(
         Dt, Xt, A0, float(lam), state,
         max_active=A_run, max_iter=seg, max_inner=max_inner,
+        max_cg=max_cg, n_activate=n_activate,
     )
     lanes = None            # narrow-batch lane ids (None = full width)
     Xt_n, A0_n = Xt, A0
@@ -555,6 +595,7 @@ def feature_sign(
         state, res_n = _feature_sign_impl(
             Dt, Xt_n, A0_n, float(lam), state,
             max_active=A_run, max_iter=seg, max_inner=max_inner,
+            max_cg=max_cg, n_activate=n_activate,
         )
         if lanes is None:
             res = res_n
@@ -588,7 +629,8 @@ def feature_sign(
             D, X[:, selj], lam,
             max_active=max_active, max_iter=max_iter,
             max_inner=max_inner, full_result=True, polish=False,
-            warm_start=warm_start, auto_capacity=False,
+            warm_start=warm_start, auto_capacity=False, max_cg=max_cg,
+            n_activate=n_activate,
         )
         colsj = jnp.asarray(cols)
         res = FeatureSignResult(
@@ -619,8 +661,8 @@ lasso = feature_sign
 
 def feature_sign_scan(
     D: jax.Array, X: jax.Array, lam: float,
-    *, max_active: int = 64, max_iter: int = 60, max_inner: int = 20,
-    warm_start: int = 0,
+    *, max_active: int = 64, max_iter: int = 60, max_inner: int = 6,
+    warm_start: int = 0, max_cg: int = 32, n_activate: int = 1,
 ) -> jax.Array:
     """Pure (traceable) feature-sign: one bounded while_loop, no host
     round-trips — safe to call inside ``lax.scan`` bodies (the online-DL
@@ -641,6 +683,7 @@ def feature_sign_scan(
     _, res = _fs_loop(
         Dt, Xt, A0, lam, state,
         max_active=max_active, max_iter=max_iter, max_inner=max_inner,
+        max_cg=max_cg, n_activate=n_activate,
     )
     bad = ~res.done | res.overflow
 

@@ -335,3 +335,27 @@ def test_feature_sign_auto_capacity_with_overflow_lanes(rng):
     # the dense lanes really exceeded the narrow width
     nnz = (np.abs(np.asarray(auto.Gamma)) > 1e-10).sum(axis=0)
     assert nnz[100] > 14 and nnz[300] > 14
+
+
+def test_feature_sign_multi_activation_same_optimum(rng):
+    """n_activate>1 joins the top-k KKT violators per outer iteration
+    instead of one; the lasso minimizer is path-independent, so every
+    width must reach the cold single-activation optimum, and a capped CG
+    budget (max_cg) must not change the optimum either (the warm-started
+    solve accumulates accuracy across refinements; the KKT exit check is
+    unchanged).  No iteration-count assertion: wider activation can join
+    junk atoms that churn (join -> prune -> rejoin), which is exactly why
+    it is opt-in (chip A/B ab_fs_activate.json) — only the optimum is
+    invariant."""
+    D, X, _ = make_problem(rng, p=24, K=96, N=64, T=6)
+    lam = 0.12
+    base = feature_sign(D, X, lam, full_result=True)
+    assert bool(np.asarray(base.done).all())
+    o_base = _objective(D, X, np.asarray(base.Gamma, np.float64), lam)
+    for n_act, cg in ((2, 32), (4, 32), (8, 32), (4, 8), (1, 8)):
+        out = feature_sign(D, X, lam, full_result=True,
+                           n_activate=n_act, max_cg=cg)
+        assert bool(np.asarray(out.done).all()), (n_act, cg)
+        o = _objective(D, X, np.asarray(out.Gamma, np.float64), lam)
+        np.testing.assert_allclose(o, o_base, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"act{n_act}_cg{cg}")
