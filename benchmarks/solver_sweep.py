@@ -36,6 +36,10 @@ def main():
         for i in range(BLOCKS)
     ]
     groups = np.repeat(np.arange(K // 4), 4)        # 256 groups of 4
+    from lyssandra_tpu.solvers.encoder import SparseEncoder
+
+    _enc_lasso = SparseEncoder("lasso", {"lam": 0.15}, check_atoms=False)
+    _enc_lars = SparseEncoder("lars", {"lam": 0.15}, check_atoms=False)
 
     solvers_to_run = {
         "batch_omp(T=8)": lambda Xb: solvers.batch_omp(
@@ -46,10 +50,14 @@ def main():
             Dj, jnp.abs(Xb), T, dense=False).err,
         "group_omp(T=4,gs=4)": lambda Xb: jnp.sum(
             jnp.abs(solvers.group_omp(Dj, Xb, groups, 4)), axis=0),
+        # convex routes go through the encoder: active-set solvers ride
+        # each block's slowest straggler, so production blocks at the
+        # measured optimum (2048, ab_fs_block.json) — a raw one-32k-lane
+        # call understates the deliverable throughput ~2x
         "feature_sign(lam=.15)": lambda Xb: jnp.sum(
-            jnp.abs(solvers.feature_sign(Dj, Xb, 0.15)), axis=0),
+            jnp.abs(_enc_lasso.encode(Xb, Dj)), axis=0),
         "lars(lam=.15)": lambda Xb: jnp.sum(
-            jnp.abs(solvers.lars(Dj, Xb, 0.15)), axis=0),
+            jnp.abs(_enc_lars.encode(Xb, Dj)), axis=0),
         "fista(lam=.15,300it)": lambda Xb: jnp.sum(
             jnp.abs(solvers.fista(Dj, Xb, 0.15, n_iter=300)), axis=0),
         "llc(knn=5)": lambda Xb: jnp.sum(

@@ -70,7 +70,20 @@ class OnlineDLConfig:
     chunk_batches: int = 8       # minibatches scanned per device program
     fs_max_active: int = 64      # feature-sign active-set capacity
     fs_max_iter: int = 60        # feature-sign outer iterations (in-scan)
-    fs_max_inner: int = 20
+    fs_max_inner: int = 6        # refinement budget (r6, ab_fs_inner.json)
+    code_blocks: int = 4         # coder sub-blocks per minibatch: active-
+    #                              set while_loops ride each block's
+    #                              slowest lane, so coding bs lanes as
+    #                              code_blocks sequential sub-blocks pays
+    #                              with NO per-sub-block dispatch cost
+    #                              inside the epoch scan.  Chip A/B at
+    #                              50k color patches (r6): cb1 5577 /
+    #                              cb2 6927 / cb4 7349 / cb8 6828 p/s,
+    #                              objectives identical — 1024-lane
+    #                              sub-blocks are the in-program optimum
+    #                              (vs 2048 at the dispatch level,
+    #                              ab_fs_block.json).  The dictionary
+    #                              update still sees the full minibatch
     seed: int = 0
 
 

@@ -77,8 +77,24 @@ def _dict_update_body(D, A, B, n_sweeps: int):
 _dict_update = jax.jit(_dict_update_body, static_argnames=("n_sweeps",))
 
 
-def _code_batch(D, Xb, lam, coder: str, fs_opts: dict):
+def _code_batch(D, Xb, lam, coder: str, fs_opts: dict,
+                code_blocks: int = 1):
     if coder == "feature_sign":
+        cb = code_blocks
+        if cb > 1 and Xb.shape[1] % cb == 0:
+            # code the minibatch as cb sequential sub-blocks: the
+            # feature-sign while_loops exit when EVERY lane in the call
+            # converges, so two half-width loops each ride their own
+            # straggler instead of one full-width loop riding the worst
+            # of all (same mechanism as the encoder's 2048 block
+            # default, ab_fs_block.json).  Lanes are independent — the
+            # codes are identical either way.
+            p, bs = Xb.shape[0], Xb.shape[1] // cb
+            Xs = jnp.moveaxis(Xb.reshape(p, cb, bs), 1, 0)
+            Gs = lax.map(
+                lambda Xi: _feature_sign_scan(D, Xi, lam, **fs_opts), Xs
+            )
+            return jnp.moveaxis(Gs, 0, 1).reshape(-1, cb * bs)
         return _feature_sign_scan(D, Xb, lam, **fs_opts)
     if coder == "fista":
         A0 = jnp.matmul(D.T, Xb, precision=_HI)
@@ -90,12 +106,13 @@ def _code_batch(D, Xb, lam, coder: str, fs_opts: dict):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_sweeps", "coder", "max_active", "max_iter", "max_inner"
+        "n_sweeps", "coder", "max_active", "max_iter", "max_inner",
+        "code_blocks",
     ),
 )
 def _online_chunk(
     D, A, B, Xc, lam, beta,
-    *, n_sweeps, coder, max_active, max_iter, max_inner,
+    *, n_sweeps, coder, max_active, max_iter, max_inner, code_blocks=1,
 ):
     """Scan the Mairal update over a chunk of minibatches in ONE device
     program.  Xc: (nb, p, bs).  Returns (D, A, B, objs, nnzs) with
@@ -106,7 +123,7 @@ def _online_chunk(
 
     def step(state, Xb):
         D, A, B = state
-        Gamma = _code_batch(D, Xb, lam, coder, fs_opts)
+        Gamma = _code_batch(D, Xb, lam, coder, fs_opts, code_blocks)
         A = beta * A + jnp.matmul(Gamma, Gamma.T, precision=_HI)
         B = beta * B + jnp.matmul(Xb, Gamma.T, precision=_HI)
         D = _dict_update_body(D, A, B, n_sweeps)
@@ -287,6 +304,7 @@ class OnlineDictionaryLearner:
                     n_sweeps=cfg.n_sweeps, coder=self.coder,
                     max_active=cfg.fs_max_active, max_iter=cfg.fs_max_iter,
                     max_inner=cfg.fs_max_inner,
+                    code_blocks=getattr(cfg, "code_blocks", 1),
                 )
                 m = dict(
                     step=int(self.state.step) + nb,

@@ -46,12 +46,16 @@ class SparseEncoder:
         if block is None:
             # active-set convex solvers iterate until EVERY lane in the
             # block converges, so big blocks ride their slowest straggler;
-            # 4096-lane blocks dispatched back-to-back measured +27% over
-            # one 32k call at identical objective (r3, on chip).  Greedy
-            # solvers run fixed trip counts and want the big block.
+            # blocks dispatched back-to-back measured +27% over one 32k
+            # call at identical objective (r3, on chip).  Re-measured r6
+            # after max_inner=6 cut the per-outer straggler tax
+            # (ab_fs_block.json): 2048 beats 4096 by 7-11% in both
+            # regimes and 512 loses to dispatch latency — 2048 is the
+            # optimum.  Greedy solvers run fixed trip counts and want
+            # the big block.
             convex = algorithm in ("lasso", "feature_sign", "fss",
                                    "lars", "lasso_lars")
-            block = 4096 if convex else 16384
+            block = 2048 if convex else 16384
         self.block = block
         self.mesh = mesh
         self.check_atoms = check_atoms

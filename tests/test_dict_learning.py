@@ -323,6 +323,23 @@ def test_online_chunked_fit_matches_partial_fit(rng):
     )
 
 
+def test_online_code_blocks_matches_unblocked(rng):
+    # code_blocks=cb codes each minibatch as cb sequential sub-blocks
+    # (straggler isolation, ab_fs_block.json); lanes are independent, so
+    # the learned dictionary must match the unblocked fit to fp noise
+    D, X, _ = make_problem(rng, p=16, K=24, N=256, T=3)
+    Xf = np.asarray(X, np.float32)
+    cfg1 = OnlineDLConfig(K=24, lam=0.15, batch_size=64, chunk_batches=2,
+                          seed=0, code_blocks=1)
+    cfg2 = OnlineDLConfig(K=24, lam=0.15, batch_size=64, chunk_batches=2,
+                          seed=0, code_blocks=2)
+    a = OnlineDictionaryLearner(cfg1).fit(Xf, seed=3)
+    b = OnlineDictionaryLearner(cfg2).fit(Xf, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(a.D_), np.asarray(b.D_), atol=2e-3
+    )
+
+
 def test_online_fit_sharded_matches_single(rng):
     import jax
     from lyssandra_tpu.parallel import make_mesh
