@@ -202,7 +202,7 @@ def main(quick=False):
         t0 = time.perf_counter()
         state, res = _feature_sign_impl(
             Dt, Xt, A0, LAM, state, max_active=A, max_iter=16,
-            max_inner=20,
+            max_inner=6,          # the r6 default (ab_fs_inner.json)
         )
         nd = int(np.asarray(jnp.sum(state[5])))   # sync + count
         segs.append({
