@@ -71,6 +71,18 @@ class OnlineDLConfig:
     fs_max_active: int = 64      # feature-sign active-set capacity
     fs_max_iter: int = 60        # feature-sign outer iterations (in-scan)
     fs_max_inner: int = 6        # refinement budget (r6, ab_fs_inner.json)
+    fs_warm_start: int = 0       # OMP-seed atoms for the in-scan coder.
+    #                              MEASURED NEGATIVE as a default (r6,
+    #                              chip, 50k color patches: ws4 5512 vs
+    #                              ws0 6835 p/s): in-scan the seed runs
+    #                              the XLA-scan OMP (the fused kernel
+    #                              that makes the host-level seed free
+    #                              is a custom call = fusion barrier
+    #                              inside the epoch program), and on the
+    #                              partially-trained mid-epoch
+    #                              dictionary the greedy support matches
+    #                              the lasso support less well.  Kept as
+    #                              an opt-in knob.
     code_blocks: int = 4         # coder sub-blocks per minibatch: active-
     #                              set while_loops ride each block's
     #                              slowest lane, so coding bs lanes as

@@ -107,18 +107,20 @@ def _code_batch(D, Xb, lam, coder: str, fs_opts: dict,
     jax.jit,
     static_argnames=(
         "n_sweeps", "coder", "max_active", "max_iter", "max_inner",
-        "code_blocks",
+        "code_blocks", "warm_start",
     ),
 )
 def _online_chunk(
     D, A, B, Xc, lam, beta,
     *, n_sweeps, coder, max_active, max_iter, max_inner, code_blocks=1,
+    warm_start=0,
 ):
     """Scan the Mairal update over a chunk of minibatches in ONE device
     program.  Xc: (nb, p, bs).  Returns (D, A, B, objs, nnzs) with
     per-minibatch post-update objective and average nnz."""
     fs_opts = dict(
-        max_active=max_active, max_iter=max_iter, max_inner=max_inner
+        max_active=max_active, max_iter=max_iter, max_inner=max_inner,
+        warm_start=warm_start,
     )
 
     def step(state, Xb):
@@ -305,6 +307,7 @@ class OnlineDictionaryLearner:
                     max_active=cfg.fs_max_active, max_iter=cfg.fs_max_iter,
                     max_inner=cfg.fs_max_inner,
                     code_blocks=getattr(cfg, "code_blocks", 1),
+                    warm_start=getattr(cfg, "fs_warm_start", 0),
                 )
                 m = dict(
                     step=int(self.state.step) + nb,

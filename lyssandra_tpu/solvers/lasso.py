@@ -353,6 +353,19 @@ def _fs_sig_nnz(G0t):
     return jnp.sum(jnp.abs(G0t) > tau, axis=1), tau
 
 
+def _fs_omp_seed_iterate(D, Xt, n_atoms: int):
+    """OMP-seeded warm iterate G0^T (N, K): batch_omp at T=n_atoms runs
+    at ~3.4M patches/s on chip (vs the feature-sign loop's ~2-7k), so a
+    few-atom greedy support costs ~nothing.  Unlike the FISTA iterate
+    (junk-laden before convergence — the r5 measured loss), the greedy
+    support is small and high-signal; the magnitudes are least-squares
+    fits that feature-sign's first refinement re-shrinks to the lasso
+    values."""
+    from lyssandra_tpu.solvers.greedy import batch_omp
+
+    return batch_omp(D, Xt.T, int(n_atoms)).T
+
+
 def _fs_warm_init(D, Dt, Xt, A0, lam, *, max_active, n_warm):
     """Feature-sign state warm-started from an ``n_warm``-iteration FISTA
     run (device-side; no host traffic).
@@ -441,7 +454,8 @@ def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 100, max_inner: int = 6,
     full_result: bool = False, polish: bool = True,
-    compact_stragglers: bool = False, warm_start: int = 0,
+    compact_stragglers: bool = False, warm_start: int = 4,
+    warm_seed: str = "omp",
     auto_capacity: bool = False, max_cg: int = 32, n_activate: int = 1,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
@@ -469,17 +483,20 @@ def feature_sign(
     save (0.91x).  Off by default; opt in for straggler-heavy regimes
     (small lam / dense solutions where the tail runs many segments).
 
-    ``warm_start``: iterations of a device-side FISTA run whose solution
-    seeds the active set (0 = cold start, the oracle's literal path).
-    Same optimum either way — the KKT exit conditions are identical and
-    the lasso minimizer is path-independent; only the iteration count
-    changes (see _fs_warm_init).  DEFAULT 0 since r5: the warm start's
-    1.9x (r4, ab_fs_warm.json) was measured against the pre-r5 inner
-    step whose line search cost ~65 Gram matvecs per refinement; with
-    the cached-matvec inner step the outer iterations the warm start
-    saves are cheap, and FISTA-40 is pure overhead — warm LOSES 0.88x
-    (A=64) / 0.91x (A=16) on chip, on both incoherent and coherent
-    dictionaries (ab_fs_design.json).
+    ``warm_start`` / ``warm_seed``: active-set seeding.  warm_seed="omp"
+    (DEFAULT, warm_start=4 atoms): a batch_omp pass at T=warm_start
+    seeds the active set — the greedy coder runs ~3 orders of magnitude
+    faster than this loop, and its few-atom support is high-signal, so
+    the seed saves ~warm_start outer iterations nearly free: +8.1%
+    (config-4 operating point) and +5.6% (coherent regime) on chip,
+    identical optima (r6 A/B; pinned by test).  warm_seed="fista"
+    (warm_start = FISTA iterations) is the r4-era seed, kept opt-in:
+    its unconverged iterate is junk-laden and LOSES 0.88-0.91x against
+    the r5+ cached-matvec inner step (ab_fs_design.json) — the r4 1.9x
+    expired when the inner step got cheap.  warm_start=0 is the cold
+    start, the oracle's literal path.  Same optimum in every mode — the
+    KKT exit conditions are identical and the lasso minimizer is
+    path-independent; only the iteration count changes.
 
     ``auto_capacity``: run at a 16-slot active-set width and re-solve
     lanes that overflow it exactly at ``max_active`` — same result (the
@@ -543,8 +560,14 @@ def feature_sign(
     # rejects ~all lanes (see _fs_warm_state).
     A_run = 16 if (auto_capacity and max_active > 16) else max_active
     if warm_start and warm_start > 0:
-        G0t = _fs_fista_iterate(D, Xt, A0, float(lam),
-                                n_warm=int(warm_start))
+        # warm_seed="fista": warm_start = FISTA iterations of the seed
+        # run; "omp": warm_start = greedy atoms from batch_omp (near-free
+        # at ~3.4M patches/s; see _fs_omp_seed_iterate)
+        if warm_seed == "omp":
+            G0t = _fs_omp_seed_iterate(D, Xt, warm_start)
+        else:
+            G0t = _fs_fista_iterate(D, Xt, A0, float(lam),
+                                    n_warm=int(warm_start))
         state = _fs_warm_state(G0t, Dt, Xt, A0, float(lam),
                                max_active=A_run,
                                gate=(A_run == max_active))
@@ -629,7 +652,8 @@ def feature_sign(
             D, X[:, selj], lam,
             max_active=max_active, max_iter=max_iter,
             max_inner=max_inner, full_result=True, polish=False,
-            warm_start=warm_start, auto_capacity=False, max_cg=max_cg,
+            warm_start=warm_start, warm_seed=warm_seed,
+            auto_capacity=False, max_cg=max_cg,
             n_activate=n_activate,
         )
         colsj = jnp.asarray(cols)
@@ -662,22 +686,34 @@ lasso = feature_sign
 def feature_sign_scan(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 60, max_inner: int = 6,
-    warm_start: int = 0, max_cg: int = 32, n_activate: int = 1,
+    warm_start: int = 0, warm_seed: str = "omp", max_cg: int = 32,
+    n_activate: int = 1,
 ) -> jax.Array:
     """Pure (traceable) feature-sign: one bounded while_loop, no host
     round-trips — safe to call inside ``lax.scan`` bodies (the online-DL
     epoch scan codes every minibatch on-device with this).  Unconverged
     lanes after ``max_iter`` are finished with a short FISTA polish, also
-    on-device.  Returns Gamma (K, N).  ``warm_start`` defaults to 0 for
-    the same chip-measured reason as :func:`feature_sign` (the FISTA
-    seed no longer pays against the cached-matvec inner step)."""
+    on-device.  Returns Gamma (K, N).  ``warm_seed="omp"`` seeds from a
+    warm_start-atom XLA-scan OMP pass (traceable, unlike the fused
+    kernel route the host-level :func:`feature_sign` seed uses);
+    "fista" is the r4-era iterate seed (measured loss since r5)."""
     Dt, Xt = D.T, X.T
     A0 = jnp.matmul(X.T, D, precision=_HI)
     if warm_start and warm_start > 0:
-        state = _fs_warm_init(
-            D, Dt, Xt, A0, lam,
-            max_active=max_active, n_warm=int(warm_start),
-        )
+        if warm_seed == "omp":
+            from lyssandra_tpu.solvers.greedy import _omp_impl
+
+            G0t = _omp_impl(
+                D, X, 0.0, T=int(warm_start), eps_mode=False,
+                precision=_HI,
+            ).dense(D.shape[1]).T
+            state = _fs_warm_state(G0t, Dt, Xt, A0, lam,
+                                   max_active=max_active)
+        else:
+            state = _fs_warm_init(
+                D, Dt, Xt, A0, lam,
+                max_active=max_active, n_warm=int(warm_start),
+            )
     else:
         state = _fs_init(A0, lam, max_active)
     _, res = _fs_loop(

@@ -265,17 +265,25 @@ def test_encoder_lasso_and_lars_routes(rng):
 
 
 def test_feature_sign_warm_start_same_optimum(rng):
-    """FISTA-warm-started feature-sign reaches the same (unique) optimum
-    as the cold start, in fewer outer iterations."""
+    """Warm-seeded feature-sign (both FISTA-iterate and OMP-support
+    seeds) reaches the same (unique) optimum as the cold start; the
+    FISTA seed additionally needs no more outer iterations."""
     D, X, _ = make_problem(rng, p=24, K=64, N=48, T=5)
     lam = 0.15
     cold = feature_sign(D, X, lam, warm_start=0, full_result=True)
-    warm = feature_sign(D, X, lam, warm_start=40, full_result=True)
-    assert bool(np.asarray(warm.done).all())
     o_cold = _objective(D, X, np.asarray(cold.Gamma, np.float64), lam)
+    warm = feature_sign(D, X, lam, warm_start=40, warm_seed="fista",
+                        full_result=True)
+    assert bool(np.asarray(warm.done).all())
     o_warm = _objective(D, X, np.asarray(warm.Gamma, np.float64), lam)
     np.testing.assert_allclose(o_warm, o_cold, rtol=1e-5, atol=1e-5)
     assert int(warm.n_iter) <= int(cold.n_iter)
+    # the r6 default: a 4-atom batch_omp seed (ab_fs_ompseed.json)
+    womp = feature_sign(D, X, lam, warm_start=4, warm_seed="omp",
+                        full_result=True)
+    assert bool(np.asarray(womp.done).all())
+    o_womp = _objective(D, X, np.asarray(womp.Gamma, np.float64), lam)
+    np.testing.assert_allclose(o_womp, o_cold, rtol=1e-5, atol=1e-5)
 
 
 def test_feature_sign_warm_start_coherent_dictionary(rng):
@@ -298,8 +306,8 @@ def test_feature_sign_warm_start_coherent_dictionary(rng):
     lam = 0.1
     cold = feature_sign(D, X, lam, warm_start=0, max_active=16,
                         full_result=True)
-    warm = feature_sign(D, X, lam, warm_start=40, max_active=16,
-                        full_result=True)
+    warm = feature_sign(D, X, lam, warm_start=40, warm_seed="fista",
+                        max_active=16, full_result=True)
     assert not bool(np.asarray(warm.overflow).any())
     assert bool(np.asarray(warm.done).all())
     o_cold = _objective(D, X, np.asarray(cold.Gamma, np.float64), lam)
