@@ -207,10 +207,10 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
 
     # NOTE: whole-block early exit via lax.cond(all(done)) does NOT lower
     # — Mosaic "failed to legalize operation 'scf.if'" for value-carrying
-    # conds (pl.when is statement-form only).  eps-mode therefore always
-    # unrolls all T steps here; the XLA scan solver keeps its global
-    # early exit and stays the default route for eps-mode workloads
-    # (solvers.greedy._fused_supported).
+    # conds.  This value-state kernel therefore always unrolls all T
+    # steps; eps-mode instead routes to _kernel_eps_exit below, whose
+    # ref-resident state makes the statement-form pl.when early exit
+    # expressible (r7: 2.7x the XLA scan on an eps workload).
     for t in range(T):
         state = step(state, t)
 
@@ -232,53 +232,234 @@ def _kernel(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
     aux_ref[2:8, :] = jnp.zeros((6, Nb), jnp.float32)
 
 
+def _kernel_eps_exit(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
+                     r_ref, l_ref, dsel_ref,
+                     *, p, K, T, eps, corr_mode, dk_mode):
+    """eps-mode variant with PER-BLOCK early exit: solver state lives in
+    VMEM scratch refs and every pursuit step is wrapped in
+    ``pl.when(~all_done)`` — once every lane of this grid block has
+    converged, the remaining steps reduce to one scalar predicate check.
+
+    Why refs: skipping a step must leave state untouched, which values
+    threaded through Python control flow cannot express (a value-carrying
+    ``lax.cond`` fails Mosaic legalization — CLAUDE.md measured limits);
+    statement-form ``pl.when`` over ref side effects is the conditional
+    that DOES lower.  A skipped step is bitwise-identical to the masked
+    value kernel's all-lanes-frozen step (frozen lanes never change
+    state), so this kernel's outputs equal ``_kernel``'s in eps mode.
+
+    eps-stopped workloads are exactly where this pays: denoise patches
+    mostly converge in 1-3 atoms and Pallas grid blocks are raster-
+    contiguous (spatially coherent) patches, so most blocks exit after a
+    few of the T unrolled steps instead of paying all of them.
+
+    State layout (all lanes-last, rows addressed with static keepdim
+    slices — the Mosaic-safe row access pattern from ops/pallas_patches):
+      r_ref    (p, Nb)      residual
+      l_ref    (T*T, Nb)    inverse-Cholesky rows, row i*T+j = Linv[i][j]
+      dsel_ref (T*p, Nb)    selected atoms, rows [t*p, (t+1)*p)
+      gam_ref  (T, Nb)      a0 rows during the loop, gamma rows at the end
+      aux_ref rows: 0 = err, 1 = nsel, 2 = done (0/1 f32)
+    """
+    Nb = x_ref.shape[1]
+    x = x_ref[...]
+    DT = dt_ref[...]
+    D = d_ref[...]
+    if corr_mode == "split3":
+        DTh, DTl = _bf16_split(DT)
+    if dk_mode == "split3":
+        Dh, Dm, Dl = _exact3_split(D)
+    zero = jnp.zeros((1, Nb), jnp.float32)
+    iota_k = lax.broadcasted_iota(jnp.int32, (K, Nb), 0)
+
+    def corr_matmul(r):
+        if corr_mode == "hi":
+            return jnp.dot(DT, r, preferred_element_type=jnp.float32,
+                           precision=_HI)
+        if corr_mode == "split3":
+            rh, rl = _bf16_split(r)
+            return (
+                jnp.dot(DTh, rh, preferred_element_type=jnp.float32)
+                + jnp.dot(DTh, rl, preferred_element_type=jnp.float32)
+                + jnp.dot(DTl, rh, preferred_element_type=jnp.float32)
+            )
+        return jnp.dot(DT, r, preferred_element_type=jnp.float32)
+
+    # prologue: zero-init everything the epilogue reads — a block that
+    # exits at step s leaves rows > s UNWRITTEN (scratch VMEM is garbage)
+    r_ref[...] = x
+    l_ref[...] = jnp.zeros((T * T, Nb), jnp.float32)
+    gam_ref[...] = jnp.zeros((T, Nb), jnp.float32)
+    idx_ref[...] = jnp.zeros((T, Nb), jnp.int32)
+    xnormsq = jnp.sum(x * x, axis=0, keepdims=True)
+    aux_ref[0:1, :] = xnormsq
+    aux_ref[1:2, :] = zero
+    aux_ref[2:3, :] = (xnormsq <= eps * eps).astype(jnp.float32)
+    aux_ref[3:8, :] = jnp.zeros((5, Nb), jnp.float32)
+
+    def step(t):
+        done = aux_ref[2:3, :] > 0.5
+        r = r_ref[...]
+        corr = corr_matmul(r)
+        s = jnp.abs(corr)
+        mx = jnp.max(s, axis=0, keepdims=True)
+        k = jnp.min(jnp.where(s == mx, iota_k, K), axis=0, keepdims=True)
+
+        if dk_mode == "split3":
+            oh = (iota_k == k).astype(jnp.bfloat16)
+            dk = (
+                jnp.dot(Dh, oh, preferred_element_type=jnp.float32)
+                + jnp.dot(Dm, oh, preferred_element_type=jnp.float32)
+                + jnp.dot(Dl, oh, preferred_element_type=jnp.float32)
+            )
+        else:
+            onehot = (iota_k == k).astype(jnp.float32)
+            dk = jnp.dot(D, onehot, preferred_element_type=jnp.float32,
+                         precision=_HI)
+
+        dsel = [dsel_ref[j * p:(j + 1) * p, :] for j in range(t)]
+        L = [[l_ref[i * T + j:i * T + j + 1, :] for j in range(t)]
+             for i in range(t)]
+        g = [jnp.sum(dsel[j] * dk, axis=0, keepdims=True)
+             for j in range(t)]
+        w = [sum((L[i][j] * g[j] for j in range(t)), zero)
+             for i in range(t)]
+        nu = 1.0 - sum((w[i] * w[i] for i in range(t)), zero)
+        bad = nu <= 1e-6
+        li = lax.rsqrt(jnp.maximum(nu, 1e-12))
+        frozen = done | bad
+
+        newrow = [
+            -li * sum((w[i] * L[i][j] for i in range(t)), zero)
+            for j in range(t)
+        ]
+        for j in range(t):
+            l_ref[t * T + j:t * T + j + 1, :] = jnp.where(
+                frozen, 0.0, newrow[j]
+            )
+        l_ref[t * T + t:t * T + t + 1, :] = jnp.where(frozen, 0.0, li)
+        dsel_ref[t * p:(t + 1) * p, :] = jnp.where(frozen, 0.0, dk)
+        a0_t = jnp.where(frozen, 0.0, jnp.sum(dk * x, axis=0,
+                                              keepdims=True))
+        gam_ref[t:t + 1, :] = a0_t
+        idx_ref[t:t + 1, :] = jnp.where(frozen, 0, k)
+
+        # solve gamma = L^T (L a0) from the rows INCLUDING this step's
+        Lrow = L + [[jnp.where(frozen, 0.0, newrow[j]) for j in range(t)]
+                    + [jnp.where(frozen, 0.0, li)]]
+        a0 = [gam_ref[j:j + 1, :] for j in range(t + 1)]
+        y = [sum((Lrow[i][j] * a0[j] for j in range(i + 1)), zero)
+             for i in range(t + 1)]
+        gamma = [sum((Lrow[i][j] * y[i] for i in range(j, t + 1)), zero)
+                 for j in range(t + 1)]
+        r_new = x
+        for j in range(t):
+            r_new = r_new - dsel[j] * gamma[j]
+        r_new = r_new - jnp.where(frozen, 0.0, dk) * gamma[t]
+        err_new = jnp.sum(r_new * r_new, axis=0, keepdims=True)
+
+        err_old = aux_ref[0:1, :]
+        err = jnp.where(frozen, err_old, err_new)
+        r_ref[...] = jnp.where(frozen, r, r_new)
+        aux_ref[0:1, :] = err
+        aux_ref[1:2, :] = aux_ref[1:2, :] + jnp.where(frozen, 0.0, 1.0)
+        done_new = frozen | (err <= eps * eps)
+        aux_ref[2:3, :] = done_new.astype(jnp.float32)
+
+    for t in range(T):
+        alldone = jnp.min(aux_ref[2:3, :]) > 0.5
+
+        @pl.when(jnp.logical_not(alldone))
+        def _():
+            step(t)
+
+    # epilogue: final solve from retained state (runs unconditionally;
+    # zero rows beyond each lane's nsel reproduce the last solve)
+    L = [[l_ref[i * T + j:i * T + j + 1, :] for j in range(T)]
+         for i in range(T)]
+    a0 = [gam_ref[j:j + 1, :] for j in range(T)]
+    y = [sum((L[i][j] * a0[j] for j in range(T)), zero) for i in range(T)]
+    for j in range(T):
+        gam_ref[j:j + 1, :] = sum(
+            (L[i][j] * y[i] for i in range(T)), zero
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("T", "eps", "eps_mode", "block", "corr_mode",
-                     "dk_mode", "interpret"),
+                     "dk_mode", "interpret", "eps_exit"),
 )
 def omp_fused(
     D: jax.Array, X: jax.Array, *, T: int, eps: float = 0.0,
     eps_mode: bool = False, block: int = 512, corr_mode: str = "hi",
-    dk_mode: str = "hi", interpret: bool = False,
+    dk_mode: str = "hi", interpret: bool = False, eps_exit: bool = True,
 ):
     """Fused OMP: returns (idx (N, T) i32, gamma (N, T), err (N,),
-    nsel (N,)) with greedy.GreedyResult semantics.  N % block == 0."""
+    nsel (N,)) with greedy.GreedyResult semantics.  N % block == 0.
+
+    eps_mode routes to the per-block-early-exit ref-state kernel
+    (``_kernel_eps_exit``): bitwise-identical outputs, but a grid block
+    whose lanes have all converged skips its remaining pursuit steps —
+    the dominant case for denoise-style workloads where most patches
+    stop after 1-3 atoms.
+    """
     p, K = D.shape
     N = X.shape[1]
     assert N % block == 0, (N, block)
     D = D.astype(jnp.float32)
     X = X.astype(jnp.float32)
 
-    gam, idx, aux = pl.pallas_call(
-        functools.partial(
-            _kernel, p=p, K=K, T=T, eps=float(eps), eps_mode=eps_mode,
-            corr_mode=corr_mode, dk_mode=dk_mode,
-        ),
-        grid=(N // block,),
-        in_specs=[
-            pl.BlockSpec((p, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, p), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, K), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((T, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, N), jnp.float32),
-            jax.ShapeDtypeStruct((T, N), jnp.int32),
-            jax.ShapeDtypeStruct((8, N), jnp.float32),
-        ),
-        interpret=interpret,
-    )(X, D.T, D)
+    in_specs = [
+        pl.BlockSpec((p, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, p), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, K), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((T, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((T, N), jnp.float32),
+        jax.ShapeDtypeStruct((T, N), jnp.int32),
+        jax.ShapeDtypeStruct((8, N), jnp.float32),
+    )
+    if eps_mode and eps_exit:
+        gam, idx, aux = pl.pallas_call(
+            functools.partial(
+                _kernel_eps_exit, p=p, K=K, T=T, eps=float(eps),
+                corr_mode=corr_mode, dk_mode=dk_mode,
+            ),
+            grid=(N // block,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((p, block), jnp.float32),         # residual
+                pltpu.VMEM((T * T, block), jnp.float32),     # Linv rows
+                pltpu.VMEM((T * p, block), jnp.float32),     # Dsel rows
+            ],
+            interpret=interpret,
+        )(X, D.T, D)
+    else:
+        gam, idx, aux = pl.pallas_call(
+            functools.partial(
+                _kernel, p=p, K=K, T=T, eps=float(eps), eps_mode=eps_mode,
+                corr_mode=corr_mode, dk_mode=dk_mode,
+            ),
+            grid=(N // block,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(X, D.T, D)
     return (
         idx.T, gam.T, aux[0], aux[1].astype(jnp.int32),
     )

@@ -394,11 +394,13 @@ def _fused_supported(D, X, precision, corr_dtype, eps) -> bool:
         and X.dtype == jnp.float32
         and precision is _HI
         and corr_dtype == "f32"
-        # eps mode measured FASTER on the XLA scan (denoise, T_max=16,
-        # 255k lanes: 0.29 s vs 0.58 s fused): the while_loop exits as
-        # soon as every lane converges, while the fused kernel always
-        # unrolls all T steps.  T-mode always runs T steps either way.
-        and eps is None
+        # eps mode rides the per-block-early-exit ref-state kernel
+        # (ops/pallas_omp._kernel_eps_exit): 2.7x the XLA scan at a
+        # mean-nsel-5 32k-lane probe on chip (r7).  The r2-r6 negative
+        # ("scan's global early exit beats the always-T fused kernel at
+        # denoise shapes") EXPIRED when the kernel learned to skip steps
+        # per 512-lane block — raster-contiguous blocks are spatially
+        # coherent, so most blocks exit after a few steps.
         # p and K need not be tile-aligned: _omp_fused_call zero-pads rows
         # and atoms, which is BITWISE neutral (zero atoms have exactly-zero
         # correlation and are never selected; zero rows only append +0.0
@@ -436,6 +438,12 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense, interpret=False):
     # (K, block) f32 intermediates live in the ~16 MB VMEM budget: halve
     # the block beyond K=2048 (CLAUDE.md measured limits).
     block = 512 if Kp <= 2048 else 256
+    if eps_mode:
+        # the eps-exit kernel holds its solver state in VMEM scratch
+        # ((p + T^2 + T*p) rows of f32 lanes) on top of the (K, block)
+        # correlation — shrink the lane block to keep scratch under ~6 MB
+        while block > 128 and (pp + T * T + T * pp) * block * 4 > 6e6:
+            block //= 2
     Np = -(-N // block) * block
     if Np != N:
         X = jnp.concatenate(

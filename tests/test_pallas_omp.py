@@ -56,6 +56,37 @@ def test_fused_omp_matches_scan_eps_mode(rng):
     )
 
 
+def test_fused_eps_exit_blocks_match_scan(rng):
+    """Per-block early exit (_kernel_eps_exit): grid blocks that converge
+    at different steps — including a block done AT ENTRY (its scratch
+    rows are never written; the zero-init epilogue must still produce the
+    all-zero solve) — match the scan solver lane for lane."""
+    from jax import lax
+
+    D, X, _ = make_problem(rng, p=16, K=128, N=256, T=3)
+    X[:, :64] *= 1e-6          # grid block 0: every lane done at entry
+    X[:, 64:128] *= 0.05       # block 1: converges in ~1 step
+    Df, Xf = D.astype(np.float32), X.astype(np.float32)
+    eps = 0.3
+    ref = _omp_impl(jnp.asarray(Df), jnp.asarray(Xf), eps, T=6,
+                    eps_mode=True, precision=lax.Precision.HIGHEST)
+    idx, gam, err, nsel = omp_fused(
+        jnp.asarray(Df), jnp.asarray(Xf), T=6, eps=eps, eps_mode=True,
+        block=64, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(nsel), np.asarray(ref.nsel))
+    np.testing.assert_array_equal(
+        np.asarray(idx), np.asarray(ref.idx * (np.arange(6)[None, :]
+                                               < np.asarray(ref.nsel)[:, None]))
+    )
+    np.testing.assert_allclose(
+        np.asarray(gam), np.asarray(ref.gamma), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(err), np.asarray(ref.err), atol=2e-4
+    )
+
+
 def test_exact3_split_is_lossless(rng):
     # the dk_mode='split3' fetch relies on f32 == hi + mid + lo BITWISE
     from lyssandra_tpu.ops.pallas_omp import _exact3_split
