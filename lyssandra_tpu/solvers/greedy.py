@@ -1042,9 +1042,142 @@ def _nn_omp_impl(D, X, *, T, nnls_rounds, precision):
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("T", "nnls_rounds", "precision")
+)
+def _nn_omp_impl_unrolled(D, X, *, T, nnls_rounds, precision):
+    """Unrolled-step nn_omp (same semantics as ``_nn_omp_impl``).
+
+    The scan form pays ``nnls_rounds * (T+2)`` CG matvecs on (N, T, T)
+    at EVERY pursuit step even though step t's active system is only
+    (t+1)-dimensional: 320 latency-bound tiny einsums at T=8 where
+    ~180 growing-dimension ones suffice.  Python-unrolling the T steps
+    (every shape static per step) sizes each masked-CG solve to its
+    true dimension (t+2 iterations on (N, t+1, t+1) — CG is exact in
+    <= dim iterations, +1 for the unit-eigenvalue cluster the masked
+    diagonal adds), makes step 0 a closed-form divide, and shrinks the
+    selection-exclusion scatter to ONE element per lane per step (the
+    scan form re-scatters all T slots from scratch each step).  Gated
+    to small static T by the caller: the unrolled graph grows O(T^2)
+    ops and CPU compile time explodes beyond active dims ~10-12
+    (CLAUDE.md unrolled-factorization limit).
+    """
+    p, K = D.shape
+    N = X.shape[1]
+    Xt = X.T
+    Dt = D.T
+    xnormsq = jnp.sum(Xt * Xt, axis=1)
+    iota = lax.broadcasted_iota(jnp.int32, (N, K), 1)
+    rows = jnp.arange(N)
+
+    def masked_cg(Gs, pos, rhs, iters):
+        d = Gs.shape[1]
+        mm = pos[:, :, None] * pos[:, None, :]
+        Mm = Gs * mm + jnp.eye(d, dtype=rhs.dtype)[None] * jnp.where(
+            pos > 0, 1e-8, 1.0
+        )[:, :, None]
+
+        def mv(v):
+            return jnp.einsum("nts,ns->nt", Mm, v, precision=precision)
+
+        x = jnp.zeros_like(rhs)
+        res = rhs
+        pv = res
+        rs = jnp.sum(res * res, axis=1)
+        for _ in range(iters):          # tiny static trip count: unroll
+            Mp = mv(pv)
+            al = rs / (jnp.sum(pv * Mp, axis=1) + 1e-30)
+            x = x + al[:, None] * pv
+            res = res - al[:, None] * Mp
+            rs2 = jnp.sum(res * res, axis=1)
+            pv = res + (rs2 / (rs + 1e-30))[:, None] * pv
+            rs = rs2
+        return x * pos
+
+    r = Xt
+    done = jnp.zeros((N,), bool)
+    selpen = jnp.zeros((N, K), X.dtype)   # accumulated exclusion penalty
+    Gsel = None                           # (N, t+1, t+1) restricted Gram
+    Dstack = None                         # (N, t+1, p) selected atoms
+    gamma = jnp.zeros((N, 0), X.dtype)
+    a0sel = jnp.zeros((N, 0), X.dtype)
+    smask = jnp.zeros((N, 0), X.dtype)
+    idx = jnp.zeros((N, 0), jnp.int32)
+    nsel = jnp.zeros((N,), jnp.int32)
+
+    for t in range(T):
+        Alpha = jnp.matmul(r, D, precision=precision)        # (N, K)
+        s = Alpha - selpen
+        mx = jnp.max(s, axis=1)
+        k = jnp.min(
+            jnp.where(s == mx[:, None], iota, K), axis=1
+        ).astype(jnp.int32)
+        stop = done | (mx <= 0.0)
+        livef = (~stop).astype(X.dtype)
+        selpen = selpen.at[rows, k].add(1e30 * livef)
+        # zero atom on frozen lanes: their new slot is inert everywhere
+        dk = jnp.take(Dt, k, axis=0) * livef[:, None]        # (N, p)
+        a0k = jnp.sum(dk * Xt, axis=1)
+        if t == 0:
+            Gsel = jnp.sum(dk * dk, axis=1)[:, None, None]
+            Dstack = dk[:, None, :]
+        else:
+            cross = jnp.einsum(
+                "ntp,np->nt", Dstack, dk, precision=precision
+            )                                                # (N, t)
+            dkk = jnp.sum(dk * dk, axis=1)
+            Gsel = jnp.concatenate(
+                [
+                    jnp.concatenate([Gsel, cross[:, :, None]], axis=2),
+                    jnp.concatenate(
+                        [cross[:, None, :], dkk[:, None, None]], axis=2
+                    ),
+                ],
+                axis=1,
+            )
+            Dstack = jnp.concatenate([Dstack, dk[:, None, :]], axis=1)
+        # contract: idx is 0-padded after stop (GreedyResult docstring)
+        idx = jnp.concatenate(
+            [idx, jnp.where(stop, 0, k)[:, None]], axis=1
+        )
+        a0sel = jnp.concatenate([a0sel, a0k[:, None]], axis=1)
+        smask = jnp.concatenate([smask, livef[:, None]], axis=1)
+
+        if t == 0:
+            # 1-dim NNLS in closed form; a0k = mx > 0 on live lanes so
+            # the nonnegativity clip never binds there
+            new_gamma = jnp.maximum(
+                a0sel / jnp.maximum(Gsel[:, :, 0], 1e-30), 0.0
+            ) * smask
+        else:
+            pos = smask
+            g = jnp.zeros_like(a0sel)
+            for _ in range(nnls_rounds):
+                g = masked_cg(Gsel, pos, a0sel * pos, t + 2)
+                pos = pos * (g > 0)
+            new_gamma = jnp.maximum(g, 0.0) * pos
+        new_r = Xt - jnp.einsum(
+            "nt,ntp->np", new_gamma, Dstack, precision=precision
+        )
+        gamma_prev = jnp.concatenate(
+            [gamma, jnp.zeros((N, 1), X.dtype)], axis=1
+        )
+        gamma = jnp.where(stop[:, None], gamma_prev, new_gamma)
+        r = jnp.where(stop[:, None], r, new_r)
+        nsel = jnp.where(stop, nsel, nsel + 1)
+        done = stop
+
+    err = (
+        xnormsq
+        - 2 * jnp.sum(gamma * a0sel, axis=1)
+        + jnp.einsum("nt,ntj,nj->n", gamma, Gsel, gamma)
+    )
+    return GreedyResult(idx=idx, gamma=gamma, err=err, nsel=nsel)
+
+
 def nn_omp(
     D: jax.Array, X: jax.Array, T: int, *, nnls_rounds: int = 4,
-    precision=_HI, dense: bool = True,
+    precision=_HI, dense: bool = True, unroll: bool | None = None,
 ):
     """Non-negative OMP (oracle.nn_omp): positive-correlation selection +
     bounded active-set NNLS per step (prune-only Lawson-Hanson:
@@ -1052,12 +1185,18 @@ def nn_omp(
     coherent dictionaries a pruned atom that true Lawson-Hanson would
     restore stays out, so the per-step solution can be slightly
     suboptimal; measured 2e-13 vs the scipy NNLS oracle on the test
-    problems).  Returns Gamma (K, N) >= 0."""
+    problems).  Returns Gamma (K, N) >= 0.
+
+    ``unroll=None`` auto-selects the unrolled-step implementation for
+    small T (growing-dimension CG solves; ~1.7x on chip at the sweep
+    shape) and the lax.scan form for larger T (bounded compile time).
+    """
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
-    res = _nn_omp_impl(
-        D, X, T=T, nnls_rounds=nnls_rounds, precision=precision
-    )
+    if unroll is None:
+        unroll = T <= 12
+    impl = _nn_omp_impl_unrolled if unroll else _nn_omp_impl
+    res = impl(D, X, T=T, nnls_rounds=nnls_rounds, precision=precision)
     return res.dense(D.shape[1]) if dense else res
 
 

@@ -206,3 +206,24 @@ def test_nn_omp_matches_oracle(rng):
     r_ref = np.linalg.norm(Xp - D @ ref, axis=0)
     r_out = np.linalg.norm(Xp - D @ out, axis=0)
     assert (r_out <= r_ref + 0.05 * np.linalg.norm(Xp, axis=0)).all()
+
+
+def test_nn_omp_unrolled_matches_scan(rng):
+    # the unrolled-step route (default at small T; 2.45x on chip,
+    # benchmarks/results/ab_nn_unroll.json) must agree with the scan
+    # form: same selections/counts, codes to f32 solver tolerance
+    from lyssandra_tpu.solvers import nn_omp
+
+    D, X, _ = make_problem(rng, p=32, K=96, N=64, T=8)
+    Xp = np.abs(X).astype(np.float32)
+    Df = D.astype(np.float32)
+    a = nn_omp(Df, Xp, 8, dense=False, unroll=False)
+    b = nn_omp(Df, Xp, 8, dense=False, unroll=True)
+    assert np.array_equal(np.asarray(a.nsel), np.asarray(b.nsel))
+    assert np.array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    Ga = np.asarray(a.dense(96))
+    Gb = np.asarray(b.dense(96))
+    np.testing.assert_allclose(Ga, Gb, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.err), np.asarray(b.err), atol=2e-4
+    )
