@@ -1193,6 +1193,17 @@ def nn_omp(
     """
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
+    if T == 0:
+        # neither impl traces at T=0 (empty selected-atom axes); the
+        # empty code is exact (ADVICE r2)
+        N = X.shape[1]
+        res = GreedyResult(
+            idx=jnp.zeros((N, 0), jnp.int32),
+            gamma=jnp.zeros((N, 0), X.dtype),
+            err=jnp.sum(X * X, axis=0),
+            nsel=jnp.zeros((N,), jnp.int32),
+        )
+        return res.dense(D.shape[1]) if dense else res
     if unroll is None:
         unroll = T <= 12
     impl = _nn_omp_impl_unrolled if unroll else _nn_omp_impl

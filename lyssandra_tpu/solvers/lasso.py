@@ -450,6 +450,206 @@ def _fs_warm_state(G0t, Dt, Xt, A0, lam, *, max_active, gate=True):
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("t_unroll", "n_refine", "max_active")
+)
+def _fs_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, n_refine,
+                       max_active):
+    """Unrolled growing-dimension cold start (nn_omp's r7 trick ported to
+    the convex path).
+
+    Feature-sign activates ONE atom per outer iteration, so a cold lane
+    whose solution has s nonzeros (mean 4.5 at the config-4 operating
+    point) spends its first ~s outer iterations with an active set of
+    size <= s — yet the while_loop form pays full (N, A=64, A=64)
+    active-Gram einsums, an up-to-32-step CG and an A+1-candidate line
+    search per refinement, and rides every block's slowest lane.  This
+    path Python-unrolls the first ``t_unroll`` activations with every
+    shape static and sized to the TRUE active dimension: step c's solve
+    is a (c+1)-iteration CG on (N, c, c) systems (closed form at c=1),
+    the line search scores c+1 candidates, and the full gradient uses
+    the compact residual form einsum("nc,ncp->np") — half the flops of
+    the dense-code form.  Each step runs ``n_refine`` fixed refinements
+    (no inner while_loop, no straggler riding).
+
+    Returns a :func:`_fs_loop` state tuple padded to ``max_active``
+    slots: lanes whose full KKT conditions hold are ``done`` and freeze;
+    stragglers continue in the existing segmented while_loop, so the
+    optimum (and every exit criterion) is IDENTICAL to the cold path —
+    only the iteration cost changes.  Deactivated slots are not reused
+    (a reactivation takes a fresh slot) — capacity waste bounded by
+    t_unroll << max_active.
+
+    Compile-time gate (CLAUDE.md unrolled-factorization limit): the
+    graph grows O(t_unroll^2) ops — callers keep t_unroll <= ~10.
+    """
+    N, K = A0.shape
+    dt = A0.dtype
+    rows = jnp.arange(N)[:, None]
+
+    done = jnp.all(2.0 * jnp.abs(A0) <= lam + 1e-12, axis=1)
+    gr = -2.0 * A0                      # gradient at g = 0
+
+    idx = jnp.zeros((N, 0), jnp.int32)
+    mask = jnp.zeros((N, 0), bool)
+    theta = jnp.zeros((N, 0), dt)
+    gact = jnp.zeros((N, 0), dt)
+    a0sel = jnp.zeros((N, 0), dt)
+    Dstack = jnp.zeros((N, 0, Dt.shape[1]), dt)
+    Gsel = jnp.zeros((N, 0, 0), dt)
+
+    def masked_cg(M, maskf, rhs, x0, iters):
+        # same fixed point as _fs_loop's masked_solve: ridge-regularized
+        # masked system (mask M mask + (1-mask) I + 1e-6 I) g = rhs
+        def op(v):
+            Mv = jnp.einsum("nab,nb->na", M, v * maskf, precision=_HI)
+            return maskf * Mv + (1.0 - maskf) * v + 1e-6 * v
+
+        x = x0 * maskf
+        r = rhs - op(x)
+        pv = r
+        rs = jnp.einsum("na,na->n", r, r, precision=_HI)
+        for _ in range(iters):          # tiny static trip count: unroll
+            Mp = op(pv)
+            al = rs / (jnp.einsum("na,na->n", pv, Mp, precision=_HI)
+                       + 1e-30)
+            x = x + al[:, None] * pv
+            r = r - al[:, None] * Mp
+            rs2 = jnp.einsum("na,na->n", r, r, precision=_HI)
+            pv = r + (rs2 / (rs + 1e-30))[:, None] * pv
+            rs = rs2
+        return x * maskf
+
+    for t in range(t_unroll):
+        # --- activation: the single largest inactive KKT violator ---
+        if t == 0:
+            is_act = jnp.zeros((N, K), bool)
+        else:
+            is_act = jnp.zeros((N, K), bool).at[rows, idx].max(mask)
+        cand = jnp.where(is_act, -jnp.inf, jnp.abs(gr))
+        mx = jnp.max(cand, axis=1)
+        k = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        activate = (mx > lam * (1.0 + 1e-4) + 1e-7) & ~done
+        livef = activate.astype(dt)
+        dk = jnp.take(Dt, k, axis=0) * livef[:, None]       # (N, p)
+        a0k = jnp.sum(dk * Xt, axis=1)          # inert slot: all-zero
+        gr_at = jnp.take_along_axis(gr, k[:, None], 1)[:, 0]
+        thk = -jnp.sign(gr_at) * livef
+
+        # --- grow the compact active geometry by one slot ---
+        if t == 0:
+            Gsel = jnp.sum(dk * dk, axis=1)[:, None, None]
+        else:
+            cross = jnp.einsum("ncp,np->nc", Dstack, dk, precision=_HI)
+            dkk = jnp.sum(dk * dk, axis=1)
+            Gsel = jnp.concatenate(
+                [
+                    jnp.concatenate([Gsel, cross[:, :, None]], axis=2),
+                    jnp.concatenate(
+                        [cross[:, None, :], dkk[:, None, None]], axis=2
+                    ),
+                ],
+                axis=1,
+            )
+        Dstack = jnp.concatenate([Dstack, dk[:, None, :]], axis=1)
+        idx = jnp.concatenate(
+            [idx, jnp.where(activate, k, 0)[:, None]], axis=1
+        )
+        mask0 = jnp.concatenate([mask, activate[:, None]], axis=1)
+        theta0 = jnp.concatenate([theta, thk[:, None]], axis=1)
+        gact0 = jnp.concatenate([gact, jnp.zeros((N, 1), dt)], axis=1)
+        a0sel = jnp.concatenate([a0sel, a0k[:, None]], axis=1)
+        c = t + 1
+
+        # --- n_refine fixed feature-sign refinements at width c ---
+        mask2, theta2, gact2 = mask0, theta0, gact0
+        Hg = jnp.einsum("nab,nb->na", Gsel, gact2, precision=_HI)
+        for _ in range(n_refine):
+            maskf = mask2.astype(dt)
+            a0m = a0sel * maskf
+            rhs = (a0m - lam * theta2 / 2.0) * maskf
+            if c == 1:
+                gnew = rhs / (Gsel[:, :, 0] + 1e-6) * maskf
+            else:
+                gnew = masked_cg(Gsel, maskf, rhs, gact2, c + 1)
+            Hnew = jnp.einsum("nab,nb->na", Gsel, gnew, precision=_HI)
+
+            # discrete line search over zero crossings (same math as
+            # _fs_loop's inner_step, at compact width)
+            diff = gnew - gact2
+            Hd = Hnew - Hg
+            tcross = jnp.where(
+                jnp.abs(diff) > 1e-15, -gact2 / jnp.where(
+                    jnp.abs(diff) > 1e-15, diff, 1.0
+                ), -1.0
+            )
+            valid_t = (tcross > 0.0) & (tcross < 1.0) & mask2
+            ts = jnp.concatenate(
+                [jnp.ones((N, 1), dt), jnp.where(valid_t, tcross, 1.0)],
+                axis=1,
+            )                                               # (N, c+1)
+            b = 2.0 * (
+                jnp.einsum("na,na->n", diff, Hg, precision=_HI)
+                - jnp.einsum("na,na->n", diff, a0m, precision=_HI)
+            )
+            cq = jnp.einsum("na,na->n", diff, Hd, precision=_HI)
+            l1 = jnp.sum(
+                jnp.abs(gact2[:, None, :] + ts[..., None] * diff[:, None, :])
+                * maskf[:, None, :],
+                axis=2,
+            )
+            obj = ts * b[:, None] + ts * ts * cq[:, None] + lam * l1
+            best = jnp.argmin(obj, axis=1)
+            tbest = jnp.take_along_axis(ts, best[:, None], axis=1)[:, 0]
+            gbest = gact2 + tbest[:, None] * diff
+            Hg = Hg + tbest[:, None] * Hd
+
+            nz = jnp.abs(gbest) >= 1e-12
+            mask2 = mask2 & nz
+            gact2 = jnp.where(mask2, gbest, 0.0)
+            theta2 = jnp.where(mask2, jnp.sign(gbest), 0.0)
+
+        # --- full gradient (compact residual form) + full KKT check ---
+        maskf = mask2.astype(dt)
+        R = jnp.einsum(
+            "nc,ncp->np", gact2 * maskf, Dstack, precision=_HI
+        ) - Xt
+        gr_new = 2.0 * jnp.matmul(R, Dt.T, precision=_HI)   # (N, K)
+        is_act2 = jnp.zeros((N, K), bool).at[rows, idx].max(mask2)
+        inact_viol = jnp.any(
+            jnp.where(is_act2, 0.0, jnp.abs(gr_new))
+            > lam * (1.0 + 1e-4) + 1e-7,
+            axis=1,
+        )
+        act_viol = jnp.any(
+            jnp.abs(2.0 * (Hg - a0sel * maskf) * maskf + lam * theta2)
+            * maskf > 1e-4,
+            axis=1,
+        )
+        opt = ~inact_viol & ~act_viol
+
+        # --- freeze done lanes at their pre-refinement state ---
+        fz = lambda new, old: jnp.where(done[:, None], old, new)
+        mask = fz(mask2, mask0)
+        theta = fz(theta2, theta0)
+        gact = fz(gact2, gact0)
+        gr = fz(gr_new, gr)
+        done = done | opt
+
+    # --- pad the compact state to max_active slots and hand off ---
+    pad = max_active - t_unroll
+    return (
+        jnp.pad(idx, ((0, 0), (0, pad))),
+        jnp.pad(mask, ((0, 0), (0, pad))),
+        jnp.pad(theta, ((0, 0), (0, pad))),
+        jnp.pad(gact, ((0, 0), (0, pad))),
+        gr,
+        done,
+        jnp.zeros((N,), bool),
+        jnp.asarray(t_unroll, jnp.int32),
+    )
+
+
 def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 100, max_inner: int = 6,
@@ -457,6 +657,7 @@ def feature_sign(
     compact_stragglers: bool = False, warm_start: int = 4,
     warm_seed: str = "omp",
     auto_capacity: bool = False, max_cg: int = 32, n_activate: int = 1,
+    cold_unroll: int = 0, n_refine: int = 2,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -559,7 +760,18 @@ def feature_sign(
     # dictionaries, where the count gate protecting 64-wide seeding
     # rejects ~all lanes (see _fs_warm_state).
     A_run = 16 if (auto_capacity and max_active > 16) else max_active
-    if warm_start and warm_start > 0:
+    if cold_unroll and cold_unroll > 0:
+        # unrolled growing-dimension cold start (see _fs_unrolled_state):
+        # the first min(cold_unroll, A_run) activations run as static
+        # compact-width steps; stragglers continue in the segments below.
+        # Takes precedence over warm seeding — it IS a cold start, just
+        # with the small-active-set prefix costed at its true dimension.
+        state = _fs_unrolled_state(
+            Dt, Xt, A0, float(lam),
+            t_unroll=min(int(cold_unroll), A_run),
+            n_refine=int(n_refine), max_active=A_run,
+        )
+    elif warm_start and warm_start > 0:
         # warm_seed="fista": warm_start = FISTA iterations of the seed
         # run; "omp": warm_start = greedy atoms from batch_omp (near-free
         # at ~3.4M patches/s; see _fs_omp_seed_iterate)
@@ -654,7 +866,8 @@ def feature_sign(
             max_inner=max_inner, full_result=True, polish=False,
             warm_start=warm_start, warm_seed=warm_seed,
             auto_capacity=False, max_cg=max_cg,
-            n_activate=n_activate,
+            n_activate=n_activate, cold_unroll=cold_unroll,
+            n_refine=n_refine,
         )
         colsj = jnp.asarray(cols)
         res = FeatureSignResult(

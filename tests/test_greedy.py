@@ -219,11 +219,32 @@ def test_nn_omp_unrolled_matches_scan(rng):
     Df = D.astype(np.float32)
     a = nn_omp(Df, Xp, 8, dense=False, unroll=False)
     b = nn_omp(Df, Xp, 8, dense=False, unroll=True)
-    assert np.array_equal(np.asarray(a.nsel), np.asarray(b.nsel))
-    assert np.array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    # exact nsel/idx equality only holds on lanes whose residual stays
+    # non-negligible: an exactly-representable patch leaves an f32-noise
+    # residual whose stop tie (mx <= 0) can resolve differently between
+    # the two forms (ADVICE r2) — dense codes and err still agree
+    generic = np.asarray(a.err) > 1e-6
+    assert np.array_equal(
+        np.asarray(a.nsel)[generic], np.asarray(b.nsel)[generic]
+    )
+    assert np.array_equal(
+        np.asarray(a.idx)[generic], np.asarray(b.idx)[generic]
+    )
     Ga = np.asarray(a.dense(96))
     Gb = np.asarray(b.dense(96))
     np.testing.assert_allclose(Ga, Gb, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(a.err), np.asarray(b.err), atol=2e-4
     )
+
+
+def test_nn_omp_T0(rng):
+    # T=0 returns the empty code on both routes (ADVICE r2: the unrolled
+    # form crashed — auto-select must send T=0 to the scan form)
+    from lyssandra_tpu.solvers import nn_omp
+
+    D, X, _ = make_problem(rng, p=16, K=48, N=8, T=4)
+    Xp = np.abs(X).astype(np.float32)
+    out = np.asarray(nn_omp(D.astype(np.float32), Xp, 0))
+    assert out.shape == (48, 8)
+    assert (out == 0).all()

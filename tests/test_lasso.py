@@ -317,6 +317,42 @@ def test_feature_sign_warm_start_coherent_dictionary(rng):
     assert nnz.mean() < 16
 
 
+def test_feature_sign_cold_unroll_same_optimum(rng):
+    """The unrolled growing-dimension cold start (cold_unroll > 0,
+    nn_omp's r7 trick ported to the convex path) reaches the same
+    unique optimum as the plain cold start — both in a generic regime
+    and in the sparse config-4-like regime it targets, and on a
+    coherent dictionary where activations churn."""
+    D, X, _ = make_problem(rng, p=24, K=64, N=48, T=5)
+    lam = 0.15
+    cold = feature_sign(D, X, lam, warm_start=0, full_result=True)
+    o_cold = _objective(D, X, np.asarray(cold.Gamma, np.float64), lam)
+    unr = feature_sign(D, X, lam, warm_start=0, cold_unroll=6,
+                       full_result=True)
+    assert bool(np.asarray(unr.done).all())
+    o_unr = _objective(D, X, np.asarray(unr.Gamma, np.float64), lam)
+    np.testing.assert_allclose(o_unr, o_cold, rtol=1e-5, atol=1e-5)
+
+    # sparse planted-support regime (the config-4 operating point)
+    p, K, N = 48, 128, 96
+    Dc = rng.standard_normal((p, K))
+    Dc /= np.linalg.norm(Dc, axis=0, keepdims=True)
+    G_true = np.zeros((K, N))
+    for n in range(N):
+        sup = rng.choice(K, size=5, replace=False)
+        G_true[sup, n] = rng.standard_normal(5)
+    Xc = (Dc @ G_true + 0.01 * rng.standard_normal((p, N)))
+    Dc, Xc = Dc.astype(np.float32), Xc.astype(np.float32)
+    lam = 0.3
+    cold = feature_sign(Dc, Xc, lam, warm_start=0, full_result=True)
+    unr = feature_sign(Dc, Xc, lam, warm_start=0, cold_unroll=6,
+                       full_result=True)
+    assert bool(np.asarray(unr.done).all())
+    o_cold = _objective(Dc, Xc, np.asarray(cold.Gamma, np.float64), lam)
+    o_unr = _objective(Dc, Xc, np.asarray(unr.Gamma, np.float64), lam)
+    np.testing.assert_allclose(o_unr, o_cold, rtol=1e-5, atol=1e-5)
+
+
 def test_feature_sign_auto_capacity_with_overflow_lanes(rng):
     """Auto capacity: the batch runs at a 16-slot active-set width; the
     few lanes that genuinely need more active atoms overflow the narrow
