@@ -102,7 +102,7 @@ def main(quick=False):
 
     def post_full():
         D2, g2, err, st = _ksvd_compact_post(
-            X, D, res.idx, res.gamma, exact=False, svd_iters=3,
+            X, D, res.idx, res.gamma, res.err, exact=False, svd_iters=3,
             atom_block=16, replace_dead=True, min_use=1,
             max_coherence=0.99,
         )

@@ -269,10 +269,22 @@ def ksvd_atom_update_compact(
 
 
 def _stats_to_metrics(vals) -> dict[str, Any]:
-    return dict(
+    out = dict(
         objective=float(vals[0]), rmse=float(vals[1]),
         avg_nnz=float(vals[2]), atoms_replaced=int(vals[3]),
     )
+    if len(vals) > 4:
+        # post-coding objective (before the atom sweep).  The sweep phase
+        # is the monotone one: objective <= objective_coding holds exactly
+        # (tests pin it at 0.1% fp32 slack).  The CODING step carries no
+        # such guarantee — greedy OMP re-codes from scratch and its
+        # T-sparse solution can lose to the previous iteration's
+        # sweep-refined codes, so the cross-iteration trace may tick up
+        # near convergence (+0.08% at config-2 iter 19->20; the fp64
+        # NumPy oracle shows the same, +1.8% on synthetic patches —
+        # NOTES_r8.md).  This is a property of K-SVD-with-OMP, not a bug.
+        out["objective_coding"] = float(vals[4])
+    return out
 
 
 @functools.partial(
@@ -281,8 +293,8 @@ def _stats_to_metrics(vals) -> dict[str, Any]:
                      "min_use", "max_coherence"),
 )
 def _ksvd_compact_post(
-    X, D, idx, gamma, *, exact, svd_iters, atom_block, replace_dead,
-    min_use, max_coherence,
+    X, D, idx, gamma, code_err, *, exact, svd_iters, atom_block,
+    replace_dead, min_use, max_coherence,
 ):
     """Jitted post-coding tail of a compact K-SVD iteration: atom sweep,
     stats, dead-atom replacement, normalization — all on compact codes."""
@@ -325,7 +337,8 @@ def _ksvd_compact_post(
         stats.append(bad.sum().astype(jnp.float32))
     else:
         stats.append(jnp.zeros((), jnp.float32))
-    return _norm(D), gamma, err, jnp.stack(stats)
+    stats.append(code_err.sum())        # post-coding objective (free:
+    return _norm(D), gamma, err, jnp.stack(stats)  # GreedyResult.err)
 
 
 def ksvd_step_compact(
@@ -339,7 +352,7 @@ def ksvd_step_compact(
     """
     res = encoder.encode(X, D, dense=False)
     D, gamma, err, stats = _ksvd_compact_post(
-        X, D, res.idx, res.gamma,
+        X, D, res.idx, res.gamma, res.err,
         exact=cfg.exact_svd, svd_iters=cfg.svd_iters,
         atom_block=max(cfg.atom_block, 8),
         replace_dead=cfg.replace_dead, min_use=cfg.min_use,
@@ -363,6 +376,8 @@ def ksvd_step(
     and the r4 learner defers the fetch to the end of fit entirely).
     """
     Gamma = encoder.encode(X, D)
+    Rc = X - D @ Gamma
+    obj_code = (Rc * Rc).sum()          # post-coding objective (pre-sweep)
     D, Gamma = ksvd_atom_update(
         X, D, Gamma, exact=cfg.exact_svd, svd_iters=cfg.svd_iters,
         atom_block=cfg.atom_block,
@@ -385,6 +400,7 @@ def ksvd_step(
         stats.append(bad.sum().astype(jnp.float32))
     else:
         stats.append(jnp.zeros((), jnp.float32))
+    stats.append(obj_code)
     D = normalize_atoms(D)
     return D, Gamma, jnp.stack(stats)
 
