@@ -657,7 +657,7 @@ def feature_sign(
     compact_stragglers: bool = False, warm_start: int = 4,
     warm_seed: str = "omp",
     auto_capacity: bool = False, max_cg: int = 32, n_activate: int = 1,
-    cold_unroll: int = 0, n_refine: int = 2,
+    cold_unroll: int | None = None, n_refine: int = 2,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -698,6 +698,18 @@ def feature_sign(
     start, the oracle's literal path.  Same optimum in every mode — the
     KKT exit conditions are identical and the lasso minimizer is
     path-independent; only the iteration count changes.
+
+    ``cold_unroll`` / ``n_refine``: unrolled growing-dimension cold
+    start (r8, VERDICT r2 task #1a) — the first ``cold_unroll``
+    activations run as statically-unrolled compact-width steps sized to
+    the TRUE active dimension (see :func:`_fs_unrolled_state`), each
+    with ``n_refine`` fixed refinements, before stragglers hand off to
+    the segmented while_loop.  Same optimum (full KKT exit criteria,
+    identical); only the iteration cost changes.  Default None =
+    backend-dependent: 28 on TPU (the measured chip optimum, 3.3x at
+    the config-4 operating point; depth sweep in ab_fs_unroll2.json /
+    NOTES_r8), 0 on CPU where the unrolled graph's XLA compile is ~30x
+    the while_loop's.
 
     ``auto_capacity``: run at a 16-slot active-set width and re-solve
     lanes that overflow it exactly at ``max_active`` — same result (the
@@ -740,6 +752,15 @@ def feature_sign(
     Dt, Xt = D.T, X.T
     A0 = jnp.matmul(X.T, D, precision=_HI)
     N = A0.shape[0]
+    if cold_unroll is None:
+        # backend-dependent default (same pattern as the fused-kernel
+        # gate): depth 28 is the chip optimum — config-4 7,078 -> 23,518
+        # p/s (3.3x), coherent 2,232 -> 3,576 (1.6x), objective parity
+        # ~2e-7 (ab_fs_unroll2.json + NOTES_r8) — but the unrolled graph
+        # costs ~160 s of XLA *CPU* compile per shape (vs ~5 s for the
+        # while_loop form), so CPU backends default to the plain cold
+        # start.  Pass cold_unroll explicitly to override either way.
+        cold_unroll = 28 if jax.default_backend() == "tpu" else 0
     # run in segments of <= 16 outer iterations per device program: one
     # monolithic while_loop can run minutes of device time on dense
     # problems and trip the TPU worker's kernel watchdog.  Segments are
@@ -1110,9 +1131,18 @@ def _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop):
         lt_join = jnp.where(has_over, lt, lt_join)
         k_join = jnp.where(has_over, k_over, k_join)
 
-        # leave events: cA - lt*wA = 0 => lt = cA/wA (crossing as lt falls)
+        # leave events: cA - lt*wA = 0 => lt = cA/wA (crossing as lt falls).
+        # A just-joined slot (gact == 0: the join wrote a zero
+        # coefficient) is EXCLUDED: its segment coefficient is
+        # g(l) = wA*(lt_join - l), whose only zero IS the join knot —
+        # in exact arithmetic cA/wA = lt_join, and whether the fp32
+        # estimate lands inside the 1e-6 exclusion margin is luck.  When
+        # it landed below, the solver fired a PHANTOM leave at the join
+        # lambda (2 wasted events when the atom rejoins; occasionally a
+        # churn cascade ending in a KKT-violating "done" — r8 root
+        # cause of the handoff divergence in test_lars_cold_unroll).
         ltz = jnp.where(
-            mask & (jnp.abs(wA) > 1e-12), cA / jnp.where(
+            mask & (gact != 0) & (jnp.abs(wA) > 1e-12), cA / jnp.where(
                 jnp.abs(wA) > 1e-12, wA, 1.0
             ), -BIG
         )
@@ -1254,11 +1284,226 @@ def _lars_init(A0, lam, A):
             jnp.zeros((), jnp.int32))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("t_unroll", "max_active", "t_stop")
+)
+def _lars_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, max_active,
+                         t_stop=0):
+    """Unrolled growing-dimension homotopy cold start (the nn_omp /
+    feature-sign r7-r8 trick applied to LARS — VERDICT r2 task #7).
+
+    The homotopy activates at most one atom per event, so the first ~s
+    knots of a lane whose solution has s nonzeros (mean ~4.5 at the
+    operating points) carry an active set of size <= s — yet
+    :func:`_lars_make_step` pays full (N, A=64, p) atom gathers,
+    (N, 64, 64) Gram einsums and an up-to-A+16-step CG per event.  This
+    path Python-unrolls the first ``t_unroll`` events with every shape
+    static at the TRUE active dimension: event c's two-rhs direction
+    solve is a (c+1)-iteration CG on (N, c, c) systems, and the compact
+    geometry (Dstack, Gsel, a0sel) grows by exactly one slot per event
+    (a leave masks its slot; slots are not reused — capacity waste
+    bounded by t_unroll << max_active).
+
+    Event semantics are copied verbatim from ``_lars_make_step`` (join /
+    leave / overdue-join healing / t_stop), so the path — and therefore
+    the knot solutions — matches the wide form up to f32 reduction
+    order.  Returns a ``_lars_impl`` state tuple padded to
+    ``max_active`` slots; stragglers continue in the segmented
+    while_loop.
+
+    Compile-time gate: the graph grows O(t_unroll^2) ops — callers keep
+    t_unroll <= ~10 (CLAUDE.md unrolled-factorization limit).
+    """
+    N, K = A0.shape
+    dt = A0.dtype
+    rows = jnp.arange(N)[:, None]
+    iotaK = lax.broadcasted_iota(jnp.int32, (N, K), 1)
+    BIG = jnp.asarray(3.4e38, dt)
+
+    # --- _lars_init at compact width 1 ---
+    c0 = 2.0 * jnp.abs(A0)
+    lt = jnp.max(c0, axis=1)
+    k0 = jnp.min(jnp.where(c0 == lt[:, None], iotaK, K), axis=1)
+    k0 = k0.astype(jnp.int32)
+    done = lt <= lam
+    idx = k0[:, None]
+    mask = jnp.ones((N, 1), bool)
+    theta = jnp.sign(
+        jnp.take_along_axis(A0, k0[:, None], 1)
+    )
+    gact = jnp.zeros((N, 1), dt)
+    dk = jnp.take(Dt, k0, axis=0)                       # (N, p)
+    Dstack = dk[:, None, :]
+    Gsel = jnp.sum(dk * dk, axis=1)[:, None, None]
+    a0sel = jnp.take_along_axis(A0, idx, axis=1)
+    cgw = jnp.zeros((N, 1, 2), dt)
+
+    for t in range(t_unroll):
+        c = idx.shape[1]
+        maskf = mask.astype(dt)
+        eyec = jnp.eye(c, dtype=dt)
+        pairm = maskf[:, :, None] * maskf[:, None, :]
+        Mp = jnp.where(pairm > 0, Gsel * pairm, eyec[None]) \
+            + 1e-6 * eyec[None]
+        a0m = a0sel * maskf
+        rhs = jnp.stack([a0m, theta / 2.0], axis=-1)     # (N, c, 2)
+
+        def mv(v, Mp=Mp):
+            return jnp.einsum("nab,nbr->nar", Mp, v, precision=_HI)
+
+        # two-rhs CG, exact in <= c iterations (+1 fp32 headroom), warm
+        # from the previous knot's solution — fully unrolled (static c)
+        x = cgw * maskf[:, :, None]
+        r = rhs - mv(x)
+        pv = r
+        rs = jnp.sum(r * r, axis=1)                      # (N, 2)
+        for _ in range(c + 1):
+            Mpv = mv(pv)
+            al = rs / (jnp.sum(pv * Mpv, axis=1) + 1e-30)
+            x = x + al[:, None, :] * pv
+            r = r - al[:, None, :] * Mpv
+            rs2 = jnp.sum(r * r, axis=1)
+            pv = r + (rs2 / (rs + 1e-30))[:, None, :] * pv
+            rs = rs2
+        sol = x * maskf[:, :, None]
+        cA = sol[..., 0]
+        wA = sol[..., 1]
+
+        # inactive correlation lines, residual form at compact width
+        cw = jnp.stack([cA, wA], axis=1)                 # (N, 2, c)
+        zz = jnp.einsum("nrc,ncp->nrp", cw, Dstack, precision=_HI)
+        rz = jnp.stack([Xt - zz[:, 0, :], zz[:, 1, :]], axis=1)
+        uv = 2.0 * jnp.einsum("nrp,pk->nrk", rz, Dt.T, precision=_HI)
+        u, v = uv[:, 0, :], uv[:, 1, :]
+
+        is_act = jnp.zeros((N, K), bool).at[rows, idx].max(mask)
+
+        # join events (verbatim _lars_make_step semantics)
+        ltp = u / jnp.maximum(1.0 - v, 1e-12)
+        ltm = u / jnp.minimum(-1.0 - v, -1e-12)
+        cand = jnp.where(
+            is_act, -BIG, jnp.maximum(
+                jnp.where((ltp < lt[:, None] - 1e-6) & (ltp > 0),
+                          ltp, -BIG),
+                jnp.where((ltm < lt[:, None] - 1e-6) & (ltm > 0),
+                          ltm, -BIG),
+            )
+        )
+        lt_join = jnp.max(cand, axis=1)
+        k_join = jnp.min(
+            jnp.where(cand == lt_join[:, None], iotaK, K), axis=1
+        ).astype(jnp.int32)
+
+        # self-healing overdue joins
+        c_now = jnp.where(is_act, 0.0, u + lt[:, None] * v)
+        over = jnp.abs(c_now) - lt[:, None] * (1.0 + 1e-5)
+        mx_over = jnp.max(over, axis=1, keepdims=True)
+        k_over = jnp.min(
+            jnp.where(over == mx_over, iotaK, K), axis=1
+        ).astype(jnp.int32)
+        has_over = mx_over[:, 0] > 1e-5
+        lt_join = jnp.where(has_over, lt, lt_join)
+        k_join = jnp.where(has_over, k_over, k_join)
+
+        # leave events (gact == 0 slots excluded — see _lars_make_step's
+        # phantom-leave note)
+        ltz = jnp.where(
+            mask & (gact != 0) & (jnp.abs(wA) > 1e-12), cA / jnp.where(
+                jnp.abs(wA) > 1e-12, wA, 1.0
+            ), -BIG
+        )
+        ltz = jnp.where((ltz < lt[:, None] - 1e-6) & (ltz > 0),
+                        ltz, -BIG)
+        lt_leave = jnp.max(ltz, axis=1)
+        s_leave = jnp.argmax(
+            jnp.where(ltz == lt_leave[:, None], 1.0, 0.0), axis=1
+        )
+
+        lt_next = jnp.maximum(jnp.maximum(lt_join, lt_leave), lam)
+        finished = lt_next <= lam + 1e-9
+        prefer_join = lt_join >= lt_leave
+        if t_stop:
+            hit = (~finished) & prefer_join & (
+                jnp.sum(mask, axis=1) >= t_stop
+            )
+            finished = finished | hit
+
+        gact_new = (cA - lt_next[:, None] * wA) * maskf
+
+        do_join = (~finished) & prefer_join
+        do_leave = (~finished) & ~prefer_join
+
+        # leave: clear the crossing slot at compact width
+        leave_hot = (jax.nn.one_hot(s_leave, c, dtype=bool)
+                     & do_leave[:, None])
+        mask_upd = mask & ~leave_hot
+        theta_upd = jnp.where(leave_hot, 0.0, theta)
+        gact_upd = jnp.where(leave_hot, 0.0, gact_new)
+
+        # join: ALWAYS append one fresh slot (inert unless join fires on
+        # a live lane) — static shapes, no slot reuse
+        live = do_join & ~done
+        livef = live.astype(dt)
+        corr_at = jnp.take_along_axis(u + lt_next[:, None] * v,
+                                      k_join[:, None], 1)[:, 0]
+        dkj = jnp.take(Dt, k_join, axis=0) * livef[:, None]
+        cross = jnp.einsum("ncp,np->nc", Dstack, dkj, precision=_HI)
+        dkk = jnp.sum(dkj * dkj, axis=1)
+        Gsel = jnp.concatenate(
+            [
+                jnp.concatenate([Gsel, cross[:, :, None]], axis=2),
+                jnp.concatenate(
+                    [cross[:, None, :], dkk[:, None, None]], axis=2
+                ),
+            ],
+            axis=1,
+        )
+        Dstack = jnp.concatenate([Dstack, dkj[:, None, :]], axis=1)
+        a0k = jnp.sum(dkj * Xt, axis=1)
+
+        # freeze done lanes (their fresh slot stays inert); grow state
+        fz = lambda new, old: jnp.where(done[:, None], old, new)
+        idx = jnp.concatenate(
+            [idx, jnp.where(live, k_join, 0)[:, None]], axis=1
+        )
+        mask = jnp.concatenate(
+            [fz(mask_upd, mask), live[:, None]], axis=1
+        )
+        theta = jnp.concatenate(
+            [fz(theta_upd, theta),
+             (jnp.sign(corr_at) * livef)[:, None]], axis=1
+        )
+        gact = jnp.concatenate(
+            [fz(gact_upd, gact), jnp.zeros((N, 1), dt)], axis=1
+        )
+        a0sel = jnp.concatenate([a0sel, a0k[:, None]], axis=1)
+        cgw = jnp.concatenate(
+            [jnp.where(done[:, None, None], cgw, sol),
+             jnp.zeros((N, 1, 2), dt)], axis=1
+        )
+        lt = jnp.where(done, lt, lt_next)
+        done = done | finished
+
+    # --- pad the compact state to max_active slots and hand off ---
+    pad = max_active - idx.shape[1]
+    return (
+        jnp.pad(idx, ((0, 0), (0, pad))),
+        jnp.pad(mask, ((0, 0), (0, pad))),
+        jnp.pad(theta, ((0, 0), (0, pad))),
+        jnp.pad(gact, ((0, 0), (0, pad))),
+        jnp.pad(cgw, ((0, 0), (0, pad), (0, 0))),
+        lt,
+        done,
+        jnp.asarray(t_unroll, jnp.int32),
+    )
+
+
 def lars(
     D: jax.Array, X: jax.Array, lam: float = 0.0,
     *, n_nonzero_coefs: int | None = None,
     max_active: int = 64, max_steps: int = 256,
     full_result: bool = False, polish: bool = True,
+    cold_unroll: int | None = None,
 ):
     """Batched LARS-lasso (homotopy) solver for the lasso objective
     ||x - D g||^2 + lam ||g||_1 — same optimum as feature_sign, reached by
@@ -1282,6 +1527,20 @@ def lars(
     ``polish`` (default), lanes whose final KKT residual violates lam get
     re-solved with FISTA and the better objective wins.
 
+    ``cold_unroll``: run the first t homotopy events as statically-
+    unrolled compact-width steps (see :func:`_lars_unrolled_state`)
+    before the segmented while_loop — same event semantics,
+    ~true-active-dimension cost for the early knots.  Default None =
+    backend-dependent 12 on TPU / 0 on CPU (the unrolled graph's CPU
+    compile is ~30x the while_loop's).  Chip A/B at p=64/K=1024
+    (NOTES_r8): T-mode (n_nonzero_coefs=8) 27.4k -> 88.9k p/s (3.25x);
+    planted-sparse lam=0.15 (nnz ~6) 6.2k -> 9.0k (1.46x, exact
+    objective parity); dense random-signal lam=0.15 (nnz ~47) only
+    1.13x at depth 12 / 1.22x at 24 — there the per-event floor is the
+    width-INDEPENDENT (N, K) correlation + event-scan work, which no
+    active-set compaction touches (the fused-kernel rewrite is the
+    lever for that regime).
+
     ``polish=False`` caveat: the homotopy direction solve is a fixed
     (max_active+16)-step unpreconditioned f32 CG with no convergence
     check (exact in <= A steps only in exact arithmetic); on
@@ -1302,7 +1561,18 @@ def lars(
     # per-segment host syncs — a finished segment's while_loop exits after
     # one cond check (see feature_sign)
     seg = min(32, max_steps)
-    state = _lars_init(A0, float(lam), max_active)
+    if cold_unroll is None:
+        cold_unroll = 12 if jax.default_backend() == "tpu" else 0
+    if cold_unroll and cold_unroll > 0:
+        # unrolled growing-dimension cold start: the first homotopy
+        # events run as static compact-width steps (_lars_unrolled_state)
+        state = _lars_unrolled_state(
+            D.T, X.T, A0, float(lam),
+            t_unroll=min(int(cold_unroll), max_active - 1),
+            max_active=max_active, t_stop=t_stop,
+        )
+    else:
+        state = _lars_init(A0, float(lam), max_active)
     Gamma = done = None
     for _ in range((max_steps + seg - 1) // seg):
         state, (Gamma, done) = _lars_impl(

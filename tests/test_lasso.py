@@ -228,6 +228,53 @@ def test_lars_zero_and_path_ends(rng):
     assert (np.abs(gr[~act]) <= lam + 5e-3).all()
 
 
+def test_lars_cold_unroll_same_solution(rng):
+    """The unrolled growing-dimension homotopy cold start (cold_unroll,
+    VERDICT r2 task #7) follows the same path as the wide while_loop:
+    same optimum at fixed lam, same T-constrained knot solutions, and
+    sklearn LassoLars parity — both in a generic and a planted-sparse
+    regime."""
+    from lyssandra_tpu.solvers.lasso import lars
+
+    D, X, _ = make_problem(rng, p=16, K=32, N=16, T=3)
+    lam = 0.2
+    base = np.asarray(lars(D, X, lam, polish=False)).astype(np.float64)
+    unr = np.asarray(
+        lars(D, X, lam, polish=False, cold_unroll=8)
+    ).astype(np.float64)
+    o_b = _objective(D, X, base, lam)
+    o_u = _objective(D, X, unr, lam)
+    np.testing.assert_allclose(o_u, o_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(unr, base, atol=1e-3)
+
+    # planted-sparse regime + T-constrained mode
+    p, K, N = 48, 128, 64
+    Dc = rng.standard_normal((p, K))
+    Dc /= np.linalg.norm(Dc, axis=0, keepdims=True)
+    G_true = np.zeros((K, N))
+    for n in range(N):
+        sup = rng.choice(K, size=5, replace=False)
+        G_true[sup, n] = rng.standard_normal(5)
+    Xc = (Dc @ G_true + 0.01 * rng.standard_normal((p, N)))
+    Dc, Xc = Dc.astype(np.float32), Xc.astype(np.float32)
+    lam = 0.25
+    base = np.asarray(lars(Dc, Xc, lam, polish=False)).astype(np.float64)
+    unr = np.asarray(
+        lars(Dc, Xc, lam, polish=False, cold_unroll=8)
+    ).astype(np.float64)
+    np.testing.assert_allclose(
+        _objective(Dc, Xc, unr, lam), _objective(Dc, Xc, base, lam),
+        rtol=1e-5, atol=1e-5,
+    )
+    # T-mode: <= T nonzeros and identical knot solutions
+    bT = np.asarray(lars(Dc, Xc, n_nonzero_coefs=4)).astype(np.float64)
+    uT = np.asarray(
+        lars(Dc, Xc, n_nonzero_coefs=4, cold_unroll=8)
+    ).astype(np.float64)
+    assert ((np.abs(uT) > 1e-12).sum(axis=0) <= 4).all()
+    np.testing.assert_allclose(uT, bT, atol=2e-3)
+
+
 def test_encoder_fista_route(rng):
     # 'fista' through the SparseEncoder facade reaches the lasso optimum
     from lyssandra_tpu.solvers.encoder import SparseEncoder
