@@ -146,9 +146,10 @@ def main():
         "single_dispatch_262k_patches_per_sec": round(single_pps, 1),
         "single_dispatch_1m_patches_per_sec": round(big_pps, 1),
     }
+    from benchmarks import stamp
     os.makedirs("benchmarks/results", exist_ok=True)
     with open("benchmarks/results/latest.json", "w") as f:
-        json.dump(detail, f, indent=2)
+        json.dump(stamp(detail), f, indent=2)
     print(json.dumps(result))
 
 

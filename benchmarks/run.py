@@ -162,11 +162,20 @@ def config3(quick=False, run_oracle=False):
                               seed=3).astype(np.float32)
         enc = SparseEncoder("bomp", {"T": cfg.T_max, "eps": eps},
                             check_atoms=False)
+        kcfg = KSVDConfig(K=256, T=cfg.T_max, n_iter=ksvd_iters,
+                          init="dct")
+        # cold/warm split (VERDICT r2 task #6): the r1-r2 artifacts
+        # lumped first-shape remote compiles (30-120 s EACH) into the
+        # first image's train bucket — barbara read 379 s vs lena 1.7 s
+        # for the same pipeline.  A 1-iteration warm-up fit compiles
+        # every executable in the loop; its wall time is reported
+        # separately as the compile cost.
         t0 = time.perf_counter()
-        learner = KSVDLearner(
-            KSVDConfig(K=256, T=cfg.T_max, n_iter=ksvd_iters, init="dct"),
-            encoder=enc,
-        ).fit(train)
+        KSVDLearner(KSVDConfig(K=256, T=cfg.T_max, n_iter=1,
+                               init="dct"), encoder=enc).fit(train)
+        rec["ksvd_compile_plus_1iter_seconds"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        learner = KSVDLearner(kcfg, encoder=enc).fit(train)
         rec["ksvd_train_seconds"] = time.perf_counter() - t0
         D_ksvd = learner.D_
 
@@ -393,10 +402,11 @@ def main():
     args = ap.parse_args()
 
     result = CONFIGS[args.config](quick=args.quick, run_oracle=args.oracle)
+    from benchmarks import stamp
     os.makedirs(RESULTS_DIR, exist_ok=True)
     path = os.path.join(RESULTS_DIR, f"config{args.config}.json")
     with open(path, "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(stamp(result), f, indent=2)
     print(json.dumps(result))
 
 

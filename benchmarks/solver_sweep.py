@@ -82,11 +82,12 @@ def main():
             out[name] = f"FAILED: {str(e)[:120]}"
         print(name, out[name], flush=True)
 
+    from benchmarks import stamp
     os.makedirs(RESULTS_DIR, exist_ok=True)
     with open(os.path.join(RESULTS_DIR, "solver_throughput.json"),
               "w") as f:
-        json.dump({"shape": f"p={P} K={K} N={N}x{BLOCKS}",
-                   "patches_per_sec": out}, f, indent=2)
+        json.dump(stamp({"shape": f"p={P} K={K} N={N}x{BLOCKS}",
+                         "patches_per_sec": out}), f, indent=2)
 
 
 if __name__ == "__main__":
