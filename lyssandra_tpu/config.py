@@ -83,6 +83,14 @@ class OnlineDLConfig:
     #                              dictionary the greedy support matches
     #                              the lasso support less well.  Kept as
     #                              an opt-in knob.
+    fs_cold_unroll: int | None = None  # unrolled growing-dimension cold
+    #                              start for the in-scan coder (r8).
+    #                              None -> 0: measured a monotone LOSS
+    #                              in-scan (ab_online_unroll.json; see
+    #                              OnlineDictionaryLearner.
+    #                              _resolve_cold_unroll) even though the
+    #                              dispatch-level coder wins 3.3x at
+    #                              depth 28.  Kept as an opt-in knob.
     code_blocks: int = 4         # coder sub-blocks per minibatch: active-
     #                              set while_loops ride each block's
     #                              slowest lane, so coding bs lanes as

@@ -107,20 +107,20 @@ def _code_batch(D, Xb, lam, coder: str, fs_opts: dict,
     jax.jit,
     static_argnames=(
         "n_sweeps", "coder", "max_active", "max_iter", "max_inner",
-        "code_blocks", "warm_start",
+        "code_blocks", "warm_start", "cold_unroll",
     ),
 )
 def _online_chunk(
     D, A, B, Xc, lam, beta,
     *, n_sweeps, coder, max_active, max_iter, max_inner, code_blocks=1,
-    warm_start=0,
+    warm_start=0, cold_unroll=0,
 ):
     """Scan the Mairal update over a chunk of minibatches in ONE device
     program.  Xc: (nb, p, bs).  Returns (D, A, B, objs, nnzs) with
     per-minibatch post-update objective and average nnz."""
     fs_opts = dict(
         max_active=max_active, max_iter=max_iter, max_inner=max_inner,
-        warm_start=warm_start,
+        warm_start=warm_start, cold_unroll=cold_unroll,
     )
 
     def step(state, Xb):
@@ -189,6 +189,22 @@ class OnlineDictionaryLearner:
         self.mesh = mesh
         self.state: OnlineDLState | None = None
         self.history_: list[dict[str, Any]] = []
+
+    def _resolve_cold_unroll(self) -> int:
+        """fs_cold_unroll=None -> 0 on EVERY backend: the r8 chip A/B
+        (ab_online_unroll.json, config-4 operating point) measured the
+        in-scan unroll a monotone LOSS — 3261 p/s at cu=0 vs 1976/876/
+        472 at depths 8/16/28 (objectives equal) — the OPPOSITE of the
+        dispatch-level coder's 3.3x win at depth 28.  Inside the epoch
+        scan the coder runs per 1024-lane lax.map sub-block with no
+        dispatch latency to amortize, and every unrolled step pays
+        full-width (N, K) work for all lanes; the while_loop form's
+        early global exit wins there.  Third in-scan knob to flip sign
+        vs dispatch level (after fs_warm_start and code_blocks)."""
+        cu = getattr(self.cfg, "fs_cold_unroll", None)
+        if cu is not None:
+            return int(cu)
+        return 0
 
     def _init_state(self, Xb):
         p = Xb.shape[0]
@@ -308,6 +324,7 @@ class OnlineDictionaryLearner:
                     max_inner=cfg.fs_max_inner,
                     code_blocks=getattr(cfg, "code_blocks", 1),
                     warm_start=getattr(cfg, "fs_warm_start", 0),
+                    cold_unroll=self._resolve_cold_unroll(),
                 )
                 m = dict(
                     step=int(self.state.step) + nb,

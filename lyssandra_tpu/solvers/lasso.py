@@ -921,7 +921,7 @@ def feature_sign_scan(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 60, max_inner: int = 6,
     warm_start: int = 0, warm_seed: str = "omp", max_cg: int = 32,
-    n_activate: int = 1,
+    n_activate: int = 1, cold_unroll: int = 0, n_refine: int = 2,
 ) -> jax.Array:
     """Pure (traceable) feature-sign: one bounded while_loop, no host
     round-trips — safe to call inside ``lax.scan`` bodies (the online-DL
@@ -930,10 +930,22 @@ def feature_sign_scan(
     on-device.  Returns Gamma (K, N).  ``warm_seed="omp"`` seeds from a
     warm_start-atom XLA-scan OMP pass (traceable, unlike the fused
     kernel route the host-level :func:`feature_sign` seed uses);
-    "fista" is the r4-era iterate seed (measured loss since r5)."""
+    "fista" is the r4-era iterate seed (measured loss since r5).
+    ``cold_unroll``: the r8 unrolled growing-dimension cold start
+    (traceable — `_fs_unrolled_state` is a pure jitted function, so it
+    inlines into scan bodies); explicit opt-in here (no backend
+    default) because in-scan economics differ from the dispatch level
+    (cf. fs_warm_start flipping sign in-scan) — see OnlineDLConfig
+    ``fs_cold_unroll`` for the measured in-scan numbers."""
     Dt, Xt = D.T, X.T
     A0 = jnp.matmul(X.T, D, precision=_HI)
-    if warm_start and warm_start > 0:
+    if cold_unroll and cold_unroll > 0:
+        state = _fs_unrolled_state(
+            Dt, Xt, A0, lam,
+            t_unroll=min(int(cold_unroll), max_active),
+            n_refine=int(n_refine), max_active=max_active,
+        )
+    elif warm_start and warm_start > 0:
         if warm_seed == "omp":
             from lyssandra_tpu.solvers.greedy import _omp_impl
 
