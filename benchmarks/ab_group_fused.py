@@ -55,12 +55,26 @@ def main():
     t_fused = time_variant(
         lambda: group_omp(Dd, Xd, groups, T, fused=True, dense=False).gamma
     )
+    # sublane-packed factor variant (VERDICT r2 task #8): the plain
+    # kernel is VPU-issue bound at 1/8 sublane utilization on its row
+    # ops; packing may also move the block optimum, so probe 512 too.
+    from lyssandra_tpu.ops.pallas_group import group_omp_fused as gof
+
+    t_packed = time_variant(
+        lambda: gof(Dd, Xd, groups, T, block=256, packed=True)[1]
+    )
+    t_packed512 = time_variant(
+        lambda: gof(Dd, Xd, groups, T, block=512, packed=True)[1]
+    )
 
     ref = np.asarray(group_omp(Dd, Xd, groups, T, fused=False))
     out = np.asarray(group_omp(Dd, Xd, groups, T, fused=True))
-    parity = float(
-        np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-30)
+    outp = np.asarray(
+        group_omp(Dd, Xd, groups, T, fused=True, packed=True)
     )
+    scale = max(np.abs(ref).max(), 1e-30)
+    parity = float(np.abs(out - ref).max() / scale)
+    parity_packed = float(np.abs(outp - ref).max() / scale)
 
     res = {
         "shape": {"p": p, "K": K, "N": N, "gs": gs, "T": T},
@@ -68,12 +82,22 @@ def main():
         "fused_b256": {
             "seconds": round(t_fused, 4), "pps": round(N / t_fused, 1),
         },
+        "packed_b256": {
+            "seconds": round(t_packed, 4), "pps": round(N / t_packed, 1),
+        },
+        "packed_b512": {
+            "seconds": round(t_packed512, 4),
+            "pps": round(N / t_packed512, 1),
+        },
         "parity_rel": parity,
+        "parity_rel_packed": parity_packed,
         "speedup": round(t_xla / t_fused, 2),
+        "speedup_packed": round(t_xla / t_packed, 2),
     }
     print(json.dumps(res))
-    out_path = pathlib.Path(__file__).parent / "results" / "group_omp_fused.json"
-    out_path.write_text(json.dumps(res, indent=2))
+    from benchmarks import write_result
+
+    write_result("group_omp_fused", res)
 
 
 if __name__ == "__main__":

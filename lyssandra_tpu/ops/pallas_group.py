@@ -249,38 +249,298 @@ def _kernel(x_ref, dst_ref, ds_ref, gam_ref, gidx_ref, aux_ref,
     aux_ref[2:8, :] = jnp.zeros((6, Nb), jnp.float32)
 
 
+def _kernel_packed(x_ref, dst_ref, ds_ref, gam_ref, gidx_ref, aux_ref,
+                   lc_ref, lr_ref, w_ref, st_ref,
+                   *, p, ng, gs, T):
+    """Sublane-packed variant (VERDICT r2 task #8 experiment).
+
+    The plain kernel is VPU-ISSUE bound: ~3000 single-sublane (1, Nb)
+    row madds per late step (factor maintenance + 3 triangular solve
+    pairs), each using 1 of 8 sublanes.  This variant keeps the inverse
+    factor in TWO VMEM scratch packings —
+      lc_ref (A*Ap, Nb): column j of Linv as an (Ap, Nb) tile at rows
+                         [j*Ap, (j+1)*Ap) (entry i in sublane i);
+      lr_ref (A*Ap, Nb): row i of Linv as an (Ap, Nb) tile (entry j in
+                         sublane j)
+    — so the solves become per-column/per-row TILE madds
+    ((Ap, Nb) * (1, Nb) broadcasting is Mosaic-legal; explicit
+    (1, Nb)->(Ap, Nb) relayout is NOT, which is why rows are re-read
+    from refs with keepdim slices instead of extracted from values).
+    W is packed the same way ((Ap, Nb) per slot in w_ref) and the Schur
+    products collapse to axis-0 keepdim reductions.  Zero-init of the
+    factor scratch makes the unwritten upper triangle/future rows
+    contribute exact zeros, so full-tile sums equal the triangular
+    sums.  Outputs match ``_kernel`` up to fp reassociation.
+    """
+    Nb = x_ref.shape[1]
+    A = T * gs
+    Ap = -(-A // 8) * 8
+    x = x_ref[...]
+    zero = jnp.zeros((1, Nb), jnp.float32)
+    ztile = jnp.zeros((Ap, Nb), jnp.float32)
+    iota_g = lax.broadcasted_iota(jnp.int32, (ng, Nb), 0)
+
+    DsT = [dst_ref[s * ng : (s + 1) * ng, :] for s in range(gs)]
+    Ds = [ds_ref[s * p : (s + 1) * p, :] for s in range(gs)]
+
+    xnormsq = jnp.sum(x * x, axis=0, keepdims=True)
+
+    # zero-init the packed factor (grid blocks reuse scratch VMEM)
+    lc_ref[...] = jnp.zeros((A * Ap, Nb), jnp.float32)
+    lr_ref[...] = jnp.zeros((A * Ap, Nb), jnp.float32)
+
+    def lc(j):
+        return lc_ref[j * Ap : (j + 1) * Ap, :]
+
+    def lr(i):
+        return lr_ref[i * Ap : (i + 1) * Ap, :]
+
+    def solve_packed(rhs_rows, hi):
+        """rhs_rows: list of hi (1, Nb) values.  Returns hi rows of
+        Linv^T Linv rhs, via two packed half-solves staged through
+        st_ref (values can't be row-sliced; refs can)."""
+        y = ztile
+        for j in range(hi):
+            y = y + lc(j) * rhs_rows[j]
+        st_ref[...] = y
+        g = ztile
+        for i in range(hi):
+            g = g + lr(i) * st_ref[i : i + 1, :]
+        st_ref[...] = g
+        return [st_ref[j : j + 1, :] for j in range(hi)]
+
+    r = x
+    err = xnormsq
+    done = jnp.zeros((1, Nb), jnp.bool_)
+    nsel = zero
+    gsel = jnp.zeros((ng, Nb), jnp.bool_)
+    a0 = [zero] * A
+    dsel = [jnp.zeros((p, Nb), jnp.float32) for _ in range(A)]
+    gidx = [jnp.zeros((1, Nb), jnp.int32) for _ in range(T)]
+    valid = [zero] * A
+
+    for t in range(T):
+        stop = done
+
+        corr_s = [
+            jnp.dot(DsT[s], r, preferred_element_type=jnp.float32,
+                    precision=_HI)
+            for s in range(gs)
+        ]
+        score = sum(c * c for c in corr_s)
+        score = score - 1e30 * gsel.astype(jnp.float32)
+        mx = jnp.max(score, axis=0, keepdims=True)
+        g = jnp.min(jnp.where(score == mx, iota_g, ng), axis=0,
+                    keepdims=True)
+        onehot = (iota_g == g)
+        gsel = gsel | (onehot & ~stop)
+
+        ohf = onehot.astype(jnp.float32)
+        dnew = [
+            jnp.dot(Ds[s], ohf, preferred_element_type=jnp.float32,
+                    precision=_HI)
+            for s in range(gs)
+        ]
+        vnew = [
+            jnp.sum(dnew[s] * dnew[s], axis=0, keepdims=True) > 1e-12
+            for s in range(gs)
+        ]
+        vnewf = [v.astype(jnp.float32) for v in vnew]
+
+        base = t * gs
+        # cross-correlations with already-selected atoms (full-width
+        # reductions, unchanged) ...
+        g_cross = [
+            [jnp.sum(dsel[j] * dnew[s], axis=0, keepdims=True)
+             for s in range(gs)]
+            for j in range(base)
+        ]
+        # ... but W = Linv G_cross is packed: one tile madd per (j, s)
+        W = []
+        for s in range(gs):
+            w = ztile
+            for j in range(base):
+                w = w + lc(j) * g_cross[j][s]
+            W.append(w)
+            w_ref[s * Ap : (s + 1) * Ap, :] = w
+        # Schur = Gnn - W^T W via axis-0 keepdim reductions (rows of W
+        # beyond base are exact zeros)
+        Schur = [[None] * gs for _ in range(gs)]
+        for s1 in range(gs):
+            for s2 in range(s1 + 1):
+                gnn = jnp.sum(dnew[s1] * dnew[s2], axis=0, keepdims=True)
+                if s1 == s2:
+                    gnn = gnn + (1.0 - vnewf[s1])
+                sc = gnn - jnp.sum(W[s1] * W[s2], axis=0, keepdims=True)
+                Schur[s1][s2] = sc
+                Schur[s2][s1] = sc
+        # unrolled gs x gs Cholesky + inverse (tiny, stays single-row)
+        Lb = [[zero] * gs for _ in range(gs)]
+        ok = None
+        for i in range(gs):
+            s_ = Schur[i][i] + 1e-9
+            for k2 in range(i):
+                s_ = s_ - Lb[i][k2] * Lb[i][k2]
+            oki = s_ > 1e-8
+            ok = oki if ok is None else (ok & oki)
+            dii = jnp.sqrt(jnp.maximum(s_, 1e-12))
+            Lb[i][i] = dii
+            inv_dii = 1.0 / dii
+            for j2 in range(i + 1, gs):
+                s2_ = Schur[j2][i]
+                for k2 in range(i):
+                    s2_ = s2_ - Lb[j2][k2] * Lb[i][k2]
+                Lb[j2][i] = s2_ * inv_dii
+        bad = ~ok
+        frozen = stop | bad
+        frozf = frozen.astype(jnp.float32)
+        keep = 1.0 - frozf
+        Lbinv = [[zero] * gs for _ in range(gs)]
+        for j2 in range(gs):
+            for i in range(j2, gs):
+                acc = sum(
+                    (-Lb[i][k2] * Lbinv[k2][j2] for k2 in range(j2, i)),
+                    zero,
+                )
+                if i == j2:
+                    acc = acc + 1.0
+                Lbinv[i][j2] = acc / Lb[i][i]
+
+        # new factor rows, packed over j: row(base+s) = -sum_i V[s][i] *
+        # Lrow[i], with V[s] = Lbinv[s][:] W^T re-read per-row from w_ref
+        for s in range(gs):
+            newrow = ztile
+            for i in range(base):
+                vsi = zero
+                for s2 in range(s + 1):
+                    vsi = vsi + Lbinv[s][s2] * w_ref[
+                        s2 * Ap + i : s2 * Ap + i + 1, :
+                    ]
+                newrow = newrow - lr(i) * vsi
+            newrow = newrow * keep
+            lr_ref[(base + s) * Ap : (base + s + 1) * Ap, :] = newrow
+            # diagonal-block entries into the packed row ...
+            for s2 in range(s + 1):
+                lr_ref[
+                    (base + s) * Ap + base + s2
+                    : (base + s) * Ap + base + s2 + 1, :
+                ] = Lbinv[s][s2] * keep
+            # ... and scatter the whole row into the column packing
+            for j in range(base + s + 1):
+                lc_ref[j * Ap + base + s : j * Ap + base + s + 1, :] = (
+                    lr_ref[(base + s) * Ap + j : (base + s) * Ap + j + 1, :]
+                )
+
+        for s in range(gs):
+            dsel[base + s] = jnp.where(frozen, 0.0, dnew[s])
+            a0[base + s] = jnp.where(
+                frozen, 0.0,
+                jnp.sum(dnew[s] * x, axis=0, keepdims=True),
+            )
+            valid[base + s] = jnp.where(frozen, 0.0, vnewf[s])
+        gidx[t] = jnp.where(frozen, gidx[t], g)
+
+        hi = base + gs
+        gamma = solve_packed(a0[:hi], hi)
+        gamma = [jnp.asarray(gr) for gr in gamma]  # materialize rows
+        for _ in range(2):
+            r_new = x
+            for j in range(hi):
+                r_new = r_new - dsel[j] * gamma[j]
+            resid_proj = [
+                jnp.sum(dsel[j] * r_new, axis=0, keepdims=True)
+                for j in range(hi)
+            ]
+            delta = solve_packed(resid_proj, hi)
+            gamma = [gamma[j] + delta[j] for j in range(hi)]
+        r_new = x
+        for j in range(hi):
+            r_new = r_new - dsel[j] * gamma[j]
+        err_new = jnp.sum(r_new * r_new, axis=0, keepdims=True)
+
+        r = jnp.where(frozen, r, r_new)
+        err = jnp.where(frozen, err, err_new)
+        nsel = jnp.where(frozen, nsel, nsel + 1.0)
+        done = frozen
+
+    gamma_out = solve_packed(a0, A)
+    gamma_out = [jnp.asarray(gr) for gr in gamma_out]
+    for _ in range(2):
+        r_f = x
+        for j in range(A):
+            r_f = r_f - dsel[j] * gamma_out[j]
+        rp = [jnp.sum(dsel[j] * r_f, axis=0, keepdims=True)
+              for j in range(A)]
+        delta = solve_packed(rp, A)
+        gamma_out = [gamma_out[j] + delta[j] for j in range(A)]
+    r_f = x
+    for j in range(A):
+        r_f = r_f - dsel[j] * gamma_out[j]
+
+    for j in range(A):
+        gam_ref[j : j + 1, :] = gamma_out[j] * valid[j]
+    for t in range(T):
+        gidx_ref[t : t + 1, :] = gidx[t]
+    aux_ref[0:1, :] = jnp.sum(r_f * r_f, axis=0, keepdims=True)
+    aux_ref[1:2, :] = nsel
+    aux_ref[2:8, :] = jnp.zeros((6, Nb), jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("ng", "gs", "T", "block", "interpret")
+    jax.jit,
+    static_argnames=("ng", "gs", "T", "block", "interpret", "packed"),
 )
-def _group_fused_call(X, DsT, Ds, *, ng, gs, T, block, interpret=False):
+def _group_fused_call(X, DsT, Ds, *, ng, gs, T, block, interpret=False,
+                      packed=False):
     p = X.shape[0]
     N = X.shape[1]
-    gam, gidx, aux = pl.pallas_call(
-        functools.partial(_kernel, p=p, ng=ng, gs=gs, T=T),
-        grid=(N // block,),
-        in_specs=[
-            pl.BlockSpec((p, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gs * ng, p), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gs * p, ng), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((T * gs, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T * gs, N), jnp.float32),
-            jax.ShapeDtypeStruct((T, N), jnp.int32),
-            jax.ShapeDtypeStruct((8, N), jnp.float32),
-        ),
-        interpret=interpret,
-    )(X, DsT, Ds)
+    in_specs = [
+        pl.BlockSpec((p, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gs * ng, p), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gs * p, ng), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((T * gs, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((T * gs, N), jnp.float32),
+        jax.ShapeDtypeStruct((T, N), jnp.int32),
+        jax.ShapeDtypeStruct((8, N), jnp.float32),
+    )
+    if packed:
+        A = T * gs
+        Ap = -(-A // 8) * 8
+        gam, gidx, aux = pl.pallas_call(
+            functools.partial(_kernel_packed, p=p, ng=ng, gs=gs, T=T),
+            grid=(N // block,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((A * Ap, block), jnp.float32),   # Linv cols
+                pltpu.VMEM((A * Ap, block), jnp.float32),   # Linv rows
+                pltpu.VMEM((gs * Ap, block), jnp.float32),  # packed W
+                pltpu.VMEM((Ap, block), jnp.float32),       # solve stage
+            ],
+            interpret=interpret,
+        )(X, DsT, Ds)
+    else:
+        gam, gidx, aux = pl.pallas_call(
+            functools.partial(_kernel, p=p, ng=ng, gs=gs, T=T),
+            grid=(N // block,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(X, DsT, Ds)
     return gam, gidx, aux
 
 
@@ -298,6 +558,7 @@ def group_omp_fused_supported(p, ng, gs, T, backend=None) -> bool:
 
 def group_omp_fused(
     D, X, groups, T: int, *, block: int = 256, interpret: bool = False,
+    packed: bool = False,
 ):
     """Fused group OMP.  Returns (idx (N, T*gs) ORIGINAL atom ids, gamma
     (N, T*gs), err (N,), nsel (N,), group ids (N, T)).  Wrapper pads
@@ -346,6 +607,7 @@ def group_omp_fused(
     gam, gidx, aux = _group_fused_call(
         Xp, DsT, Ds,
         ng=ngp, gs=gs, T=T, block=block, interpret=interpret,
+        packed=packed,
     )
     gam = gam[:, :N].T                             # (N, T*gs)
     gidx = gidx[:, :N].T                           # (N, T)

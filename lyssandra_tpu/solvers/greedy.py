@@ -805,7 +805,7 @@ def _group_omp_impl(D, X, members, mmask, member_oh, eps,
 def group_omp(
     D: jax.Array, X: jax.Array, groups, T: int,
     eps: float | None = None, *, precision=_HI, dense: bool = True,
-    fused: bool = True, interpret: bool = False,
+    fused: bool = True, interpret: bool = False, packed: bool = False,
 ):
     """Group OMP (oracle.group_omp): select argmax_g ||D_g^T r||, LS over the
     union of selected groups' atoms.  ``groups``: (K,) int array of group ids
@@ -848,6 +848,7 @@ def group_omp(
         block = 256 if not interpret else min(256, max(8, N))
         idx_f, gam_f, err_f, nsel_f, _ = group_omp_fused(
             D, X, groups_np, T_eff, block=block, interpret=interpret,
+            packed=packed,
         )
         res = GreedyResult(idx_f, jnp.asarray(gam_f), err_f,
                            (nsel_f * gs).astype(jnp.int32))

@@ -183,6 +183,37 @@ def test_group_omp_fused_interpret_matches_xla(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_group_omp_fused_packed_matches_xla(rng):
+    # the sublane-packed factor variant (VERDICT r2 #8): same selections
+    # and codes up to fp reassociation; A=T*gs=12 exercises the Ap=16
+    # padded packing
+    from lyssandra_tpu.solvers.greedy import group_omp
+
+    p, K, N, gs, T = 16, 64, 48, 4, 3
+    D = rng.standard_normal((p, K))
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    X = rng.standard_normal((p, N)).astype(np.float32)
+    groups = np.repeat(np.arange(K // gs), gs)
+    ref = np.asarray(group_omp(D, X, groups, T, fused=False))
+    out = np.asarray(group_omp(D, X, groups, T, fused=True,
+                               interpret=True, packed=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_group_omp_fused_packed_ragged(rng):
+    from lyssandra_tpu.solvers.greedy import group_omp
+
+    p, K, N, T = 16, 62, 40, 3
+    D = rng.standard_normal((p, K))
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    X = rng.standard_normal((p, N)).astype(np.float32)
+    groups = np.minimum(np.arange(K) // 4, 14)
+    ref = np.asarray(group_omp(D, X, groups, T, fused=False))
+    out = np.asarray(group_omp(D, X, groups, T, fused=True,
+                               interpret=True, packed=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_group_omp_fused_ragged_groups(rng):
     # uneven group sizes exercise the padded member slots
     from lyssandra_tpu.solvers.greedy import group_omp
