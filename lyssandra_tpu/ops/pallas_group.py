@@ -6,8 +6,9 @@ Why: the XLA scan solver runs ~320k patches/s at (K=1024, gs=4, T=4,
 N=32k) — the same per-step HBM traffic wall the plain-OMP scan had
 before its kernel (state streamed through HBM every step).  Fusing keeps
 the whole solve in VMEM: HBM sees x once in and (group ids, gamma, err)
-once out.  Measured through the public route: 520k patches/s = 1.62x
-(benchmarks/ab_group_fused.py).  The win is smaller than plain OMP's
+once out.  Measured through the public route: 1.42x the XLA
+scan (benchmarks/ab_group_fused.py; ``_kernel_packed`` below, the r9
+default, is 1.65x).  The win is smaller than plain OMP's
 (3.4x) because this kernel is VPU-ISSUE bound, not traffic bound: the
 block-Cholesky append/solve unrolls ~3000 (1, Nb) row ops per step
 (each using 1 of 8 sublanes) vs plain OMP's ~64 — block=256 beats 512+

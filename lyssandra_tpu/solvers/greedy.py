@@ -805,7 +805,7 @@ def _group_omp_impl(D, X, members, mmask, member_oh, eps,
 def group_omp(
     D: jax.Array, X: jax.Array, groups, T: int,
     eps: float | None = None, *, precision=_HI, dense: bool = True,
-    fused: bool = True, interpret: bool = False, packed: bool = False,
+    fused: bool = True, interpret: bool = False, packed: bool = True,
 ):
     """Group OMP (oracle.group_omp): select argmax_g ||D_g^T r||, LS over the
     union of selected groups' atoms.  ``groups``: (K,) int array of group ids
@@ -841,10 +841,12 @@ def group_omp(
         N = X.shape[1]
         # block=256 measured best on chip (b512/b1024 were 0.7-0.87x of
         # it at K=1024/gs=4/T=4/N=32k): the kernel is VPU-issue bound on
-        # its ~3000 (1, Nb) row ops per step (1/8 sublane utilization),
-        # not bandwidth bound — wider blocks don't help.  A/B through
-        # this route: 520k vs 320k patches/s XLA scan = 1.62x
-        # (benchmarks/ab_group_fused.py, results/group_omp_fused.json)
+        # its per-lane row ops, not bandwidth bound — wider blocks don't
+        # help (b512 re-confirmed 0.71x on the packed variant, r9).
+        # packed=True (default, r9): the sublane-packed factor kernel is
+        # 1.16x the plain fused kernel / 1.65x the XLA scan in the same
+        # run (527k vs 453k vs 319k p/s — ab_group_fused.py,
+        # results/group_omp_fused.json)
         block = 256 if not interpret else min(256, max(8, N))
         idx_f, gam_f, err_f, nsel_f, _ = group_omp_fused(
             D, X, groups_np, T_eff, block=block, interpret=interpret,
