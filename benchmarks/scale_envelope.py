@@ -61,13 +61,14 @@ def main(quick=False):
     N = 65536 if quick else 262144
     res = {"N": N, "T": T, "grid": {}}
 
-    def run_point(p, K, tag):
-        D, X = _data(p, K, N)
+    def run_point(p, K, tag, n=None):
+        n = n or N
+        D, X = _data(p, K, n)
         Dj, Xj = jnp.asarray(D), jnp.asarray(X)
         t = _best(lambda: _sync(
             solvers.batch_omp(Dj, Xj, T, dense=False).err))
         res["grid"][tag] = {
-            "p": p, "K": K, "pps": round(N / t, 1),
+            "p": p, "K": K, "N": n, "pps": round(n / t, 1),
             "ms": round(t * 1e3, 2),
         }
         print(json.dumps({tag: res["grid"][tag]}), flush=True)
@@ -76,8 +77,11 @@ def main(quick=False):
         run_point(64, K, f"K{K}_p64")
     for p in (256, 448, 512):
         run_point(p, 1024, f"K1024_p{p}")
-    # one beyond-gate point: p=576 falls back to the XLA scan route
-    run_point(576, 1024, "K1024_p576_scan_fallback")
+    # one beyond-gate point: p=576 falls back to the XLA scan route.
+    # Smaller N: the scan carries Dsel (N, T, p) double-buffered — at
+    # N=262k/p=576 that is ~10 GB of HBM carry and risks the worker
+    # (CLAUDE.md einsum-OOM lesson); 32k lanes times fine.
+    run_point(576, 1024, "K1024_p576_scan_fallback", n=32768)
 
     print(json.dumps(res))
     from benchmarks import write_result

@@ -388,12 +388,13 @@ def _kernel_eps_exit(x_ref, dt_ref, d_ref, gam_ref, idx_ref, aux_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "eps", "eps_mode", "block", "corr_mode",
-                     "dk_mode", "interpret", "eps_exit"),
+                     "dk_mode", "interpret", "eps_exit", "vmem_limit_mb"),
 )
 def omp_fused(
     D: jax.Array, X: jax.Array, *, T: int, eps: float = 0.0,
     eps_mode: bool = False, block: int = 512, corr_mode: str = "hi",
     dk_mode: str = "hi", interpret: bool = False, eps_exit: bool = True,
+    vmem_limit_mb: int | None = None,
 ):
     """Fused OMP: returns (idx (N, T) i32, gamma (N, T), err (N,),
     nsel (N,)) with greedy.GreedyResult semantics.  N % block == 0.
@@ -409,6 +410,14 @@ def omp_fused(
     assert N % block == 0, (N, block)
     D = D.astype(jnp.float32)
     X = X.astype(jnp.float32)
+    # huge-K regime: Mosaic's 16MB scoped-vmem default is a compiler
+    # knob, not hardware (v5e VMEM = 128MB); callers raise it when the
+    # K-proportional residency overflows the default (greedy.py ladder)
+    compiler_params = (
+        None if vmem_limit_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        )
+    )
 
     in_specs = [
         pl.BlockSpec((p, block), lambda i: (0, i),
@@ -446,6 +455,7 @@ def omp_fused(
                 pltpu.VMEM((T * T, block), jnp.float32),     # Linv rows
                 pltpu.VMEM((T * p, block), jnp.float32),     # Dsel rows
             ],
+            compiler_params=compiler_params,
             interpret=interpret,
         )(X, D.T, D)
     else:
@@ -458,6 +468,7 @@ def omp_fused(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            compiler_params=compiler_params,
             interpret=interpret,
         )(X, D.T, D)
     return (

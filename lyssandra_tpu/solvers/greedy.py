@@ -436,8 +436,38 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense, interpret=False):
     # the r2 default (block=256, HIGHEST dk) in the same chip session,
     # BITWISE-identical idx/gamma (benchmarks/results/ab_fused.json).
     # (K, block) f32 intermediates live in the ~16 MB VMEM budget: halve
-    # the block beyond K=2048 (CLAUDE.md measured limits).
-    block = 512 if Kp <= 2048 else 256
+    # the block beyond K=2048 (CLAUDE.md measured limits).  The budget is
+    # consumed by BOTH the (K, block) live set (corr/|corr|/iota/select,
+    # ~4 deep) and the K-proportional dictionary residency (D, D^T and
+    # their split copies) — K=4096 at block=256 measured 17.35 MB scoped
+    # (1.35 MB over), so the ladder halves again past K=3072 and keeps
+    # the (K, block) tile <= 2 MB beyond that (r9 scale-envelope run).
+    vmem_limit_mb = None
+    if Kp <= 2048:
+        block = 512
+        dk_mode = "split3"
+    elif Kp <= 3072:
+        block = 256
+        dk_mode = "split3"
+    else:
+        # huge-K regime: Mosaic's scoped-vmem accounting defeats simple
+        # live-set models — at K=4096 shrinking the block RAISED scoped
+        # usage (17.35M at b256 -> 18.48M at b128) and dropping the
+        # split-dk copies raised it further (23.81M, r9 chip).  The 16MB
+        # scoped limit is a COMPILER default, not hardware (v5e VMEM is
+        # 128MB): raise it via CompilerParams for this regime instead of
+        # fighting the estimator.
+        block = 256
+        dk_mode = "split3"
+        vmem_limit_mb = 40
+    if pp > 256 and vmem_limit_mb is None:
+        # large-p regime: the T x (p, block) selected-atom state (7.3 MB
+        # at p=448/T=8/b512) overflows the default the same way huge K
+        # does (24.2M scoped measured at p=448, r9).  At p=512 a 40MB
+        # budget still chokes Mosaic into spills (466k p/s); 64MB
+        # restores 1.86M (r9 probe: b512/64 1.86M, b256/40 1.81M,
+        # b128/40 1.68M)
+        vmem_limit_mb = 40 if pp <= 448 else 64
     if eps_mode:
         # the eps-exit kernel holds its solver state in VMEM scratch
         # ((p + T^2 + T*p) rows of f32 lanes) on top of the (K, block)
@@ -451,7 +481,8 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense, interpret=False):
         )
     idx, gamma, err, nsel = omp_fused(
         D, X, T=T, eps=eps, eps_mode=eps_mode, block=block,
-        dk_mode="split3", interpret=interpret,
+        dk_mode=dk_mode, interpret=interpret,
+        vmem_limit_mb=vmem_limit_mb,
     )
     res = GreedyResult(idx[:N], gamma[:N], err[:N], nsel[:N])
     return res.dense(K0) if dense else res
