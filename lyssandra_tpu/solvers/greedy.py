@@ -242,11 +242,19 @@ def batch_omp(
     p, K = D.shape
     D = jnp.asarray(D, jnp.float32)
     X = jnp.asarray(X, jnp.float32)
+    # The fused-kernel gate sits ABOVE the refresh choice: gram-vs-
+    # residual is a heuristic between the two XLA *scan* forms, and the
+    # fused kernel beats both wherever it is supported.  (r9: at p=512,
+    # K=1024 the 2p<K test picked 'gram' and silently bypassed the
+    # kernel — 468k vs 1.87M p/s, the whole p-sweep cliff.)  An explicit
+    # refresh='gram' still forces the Gram scan (A/B and test hook).
+    if refresh != "gram" and _fused_supported(
+        D, X, precision, corr_dtype, eps
+    ):
+        return _omp_fused_result(D, X, T, eps, dense=dense)
     if refresh == "auto":
         refresh = "residual" if 2 * p < K else "gram"
     if refresh == "residual":
-        if _fused_supported(D, X, precision, corr_dtype, eps):
-            return _omp_fused_result(D, X, T, eps, dense=dense)
         res = _omp_impl(
             D, X, 0.0 if eps is None else float(eps),
             T=T, eps_mode=eps is not None, precision=precision,
@@ -463,10 +471,8 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense, interpret=False):
     if pp > 256 and vmem_limit_mb is None:
         # large-p regime: the T x (p, block) selected-atom state (7.3 MB
         # at p=448/T=8/b512) overflows the default the same way huge K
-        # does (24.2M scoped measured at p=448, r9).  At p=512 a 40MB
-        # budget still chokes Mosaic into spills (466k p/s); 64MB
-        # restores 1.86M (r9 probe: b512/64 1.86M, b256/40 1.81M,
-        # b128/40 1.68M)
+        # does (24.2M scoped measured at p=448, r9).  p=512 verified at
+        # 64MB (1.88M p/s, b512); 40MB suffices through p=448 (1.94M)
         vmem_limit_mb = 40 if pp <= 448 else 64
     if eps_mode:
         # the eps-exit kernel holds its solver state in VMEM scratch
