@@ -111,6 +111,13 @@ def config2(quick=False, run_oracle=False):
         "patches_per_iter_sec": n * iters / dt,
         "final_rmse": learner.history_[-1]["rmse"],
         "objective_trace": [h["objective"] for h in learner.history_],
+        # post-coding objective (r8): the atom sweep is exactly monotone
+        # (objective <= objective_coding per iteration); the CODING step
+        # is greedy OMP and carries no guarantee — cross-iteration
+        # upticks near convergence live there (NOTES_r8.md)
+        "objective_coding_trace": [
+            h.get("objective_coding") for h in learner.history_
+        ],
         "seconds_per_iter": [round(h["seconds"], 3)
                              for h in learner.history_],
     }
