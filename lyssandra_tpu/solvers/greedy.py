@@ -444,7 +444,10 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense, interpret=False):
     # the r2 default (block=256, HIGHEST dk) in the same chip session,
     # BITWISE-identical idx/gamma (benchmarks/results/ab_fused.json).
     # (K, block) f32 intermediates live in the ~16 MB VMEM budget: halve
-    # the block beyond K=2048 (CLAUDE.md measured limits).  The budget is
+    # the block beyond K=2048 (CLAUDE.md measured limits).  Wider blocks
+    # under a RAISED budget are a measured negative at this K: b1024/b2048
+    # gain ~5% at a 262k dispatch but lose 4-6% at the 1M-dispatch
+    # headline shape (ab_block_vmem.json, r10 chip).  The budget is
     # consumed by BOTH the (K, block) live set (corr/|corr|/iota/select,
     # ~4 deep) and the K-proportional dictionary residency (D, D^T and
     # their split copies) — K=4096 at block=256 measured 17.35 MB scoped
