@@ -130,6 +130,7 @@ def test_solver_functions_run(tiny):
     assert np.isfinite(np.asarray(G)).all()
 
 
+@pytest.mark.slow
 def test_pipeline_classes_run(tiny):
     D, X, y = tiny
     k = lt.KSVDLearner(lt.KSVDConfig(K=16, T=2, n_iter=1)).fit(X)

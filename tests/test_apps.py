@@ -224,6 +224,7 @@ def test_eps_two_phase_device_resident_straggler_loop(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_eps_two_phase_no_stragglers(rng):
     """Common case: every lane converges in phase 1 (zero loop trips)."""
     from lyssandra_tpu.apps.denoise import _eps_two_phase

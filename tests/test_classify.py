@@ -67,6 +67,7 @@ def test_src_matches_oracle(rng):
     assert (ref == out).mean() > 0.9  # fp32 vs fp64 tie-breaks may differ
 
 
+@pytest.mark.slow
 def test_lc_ksvd_end_to_end(rng):
     Xtr, ytr, protos = _digits_like(rng, C=3, per=40, p=32)
     Xte, yte, _ = _digits_like(rng, C=3, per=15, p=32, protos=protos)

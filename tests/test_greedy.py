@@ -156,6 +156,7 @@ def test_group_omp_eps_mode(rng):
     np.testing.assert_allclose(out, ref, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_group_omp_scales_to_large_K(rng):
     # the point of the block-Cholesky design: per-lane state is
     # O((T*gs)^2), independent of K — the old masked (K, K)-solve design
@@ -208,6 +209,7 @@ def test_nn_omp_matches_oracle(rng):
     assert (r_out <= r_ref + 0.05 * np.linalg.norm(Xp, axis=0)).all()
 
 
+@pytest.mark.slow
 def test_nn_omp_unrolled_matches_scan(rng):
     # the unrolled-step route (default at small T; 2.45x on chip,
     # benchmarks/results/ab_nn_unroll.json) must agree with the scan

@@ -228,6 +228,7 @@ def test_lars_zero_and_path_ends(rng):
     assert (np.abs(gr[~act]) <= lam + 5e-3).all()
 
 
+@pytest.mark.slow
 def test_lars_cold_unroll_same_solution(rng):
     """The unrolled growing-dimension homotopy cold start (cold_unroll,
     VERDICT r2 task #7) follows the same path as the wide while_loop:
@@ -364,6 +365,7 @@ def test_feature_sign_warm_start_coherent_dictionary(rng):
     assert nnz.mean() < 16
 
 
+@pytest.mark.slow
 def test_feature_sign_cold_unroll_same_optimum(rng):
     """The unrolled growing-dimension cold start (cold_unroll > 0,
     nn_omp's r7 trick ported to the convex path) reaches the same
@@ -400,6 +402,7 @@ def test_feature_sign_cold_unroll_same_optimum(rng):
     np.testing.assert_allclose(o_unr, o_cold, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_feature_sign_auto_capacity_with_overflow_lanes(rng):
     """Auto capacity: the batch runs at a 16-slot active-set width; the
     few lanes that genuinely need more active atoms overflow the narrow
@@ -428,6 +431,7 @@ def test_feature_sign_auto_capacity_with_overflow_lanes(rng):
     assert nnz[100] > 14 and nnz[300] > 14
 
 
+@pytest.mark.slow
 def test_feature_sign_multi_activation_same_optimum(rng):
     """n_activate>1 joins the top-k KKT violators per outer iteration
     instead of one; the lasso minimizer is path-independent, so every

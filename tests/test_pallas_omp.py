@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from lyssandra_tpu.ops.pallas_omp import omp_fused
 from lyssandra_tpu.solvers.greedy import _omp_impl
 from tests.conftest import make_problem
+import pytest
 
 
 
@@ -167,6 +168,7 @@ def test_fused_wrapper_pads_odd_shapes_bitwise(rng):
     assert dense.shape == (100, 100)
 
 
+@pytest.mark.slow
 def test_group_omp_fused_interpret_matches_xla(rng):
     # the fused group-OMP kernel (ops/pallas_group.py) vs the XLA scan,
     # via the public route in interpret mode (r4)
@@ -200,6 +202,7 @@ def test_group_omp_fused_packed_matches_xla(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_group_omp_fused_packed_ragged(rng):
     from lyssandra_tpu.solvers.greedy import group_omp
 
@@ -214,6 +217,7 @@ def test_group_omp_fused_packed_ragged(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_group_omp_fused_ragged_groups(rng):
     # uneven group sizes exercise the padded member slots
     from lyssandra_tpu.solvers.greedy import group_omp
@@ -229,6 +233,7 @@ def test_group_omp_fused_ragged_groups(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_group_omp_fused_compact(rng):
     from lyssandra_tpu.solvers.greedy import group_omp
 

@@ -30,6 +30,7 @@ def _ref(img, p, do_dc, do_norm):
     ((33, 47), True, True),      # awkward (non-tile-aligned) shape
     ((24, 24), False, False),    # raw extraction
 ])
+@pytest.mark.slow
 def test_fused_pipeline_matches_oracle(rng, shape, do_dc, do_norm):
     img = rng.standard_normal(shape).astype(np.float32)
     X, M, S = fused_patch_pipeline_p1(
@@ -68,6 +69,7 @@ def test_fused_select_matches_xla_pair(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_whitening_epilogue(rng):
     # north-star fusion: extract + DC + norm + ZCA whiten in one kernel;
     # parity vs the oracle pipeline composed with Whitener.transform

@@ -40,6 +40,7 @@ def test_sharded_encode_equals_single_device(rng):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_encoder_with_mesh(rng):
     D, X, _ = make_problem(rng, p=16, K=48, N=160, T=4, dtype=np.float32)
     ref = np.asarray(
@@ -88,6 +89,7 @@ def test_sharded_ksvd_step_forwards_exact(rng):
     assert not np.allclose(np.asarray(D2), np.asarray(apx_D), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_public_ksvd_learner_sharded_matches_single(rng):
     # VERDICT r1 weak #6: the public class (what users hold) must train
     # multi-chip, not just the private sharded step

@@ -69,6 +69,7 @@ def test_compact_equals_dense_property(seed, T):
 
 @settings(max_examples=6, deadline=None)
 @given(seed=st.integers(0, 10_000), T=st.integers(1, 5))
+@pytest.mark.slow
 def test_lars_t_mode_property(seed, T):
     # T-constrained LARS: <= T nonzeros always; the active gradients sit
     # on a common boundary (knot KKT).  An fp32 homotopy lane that needed
