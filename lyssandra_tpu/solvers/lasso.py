@@ -650,6 +650,36 @@ def _fs_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, n_refine,
     )
 
 
+def _fs_unrolled_state_fused(Dt, Xt, A0, lam, *, t_unroll, n_refine,
+                             max_active, block=256, interpret=None):
+    """`_fs_unrolled_state` computed by the fused Pallas kernel
+    (ops/pallas_fs.py): same compact cold-start state, same handoff
+    tuple, state resident in VMEM instead of streamed through HBM as
+    ~dozens of XLA ops per unrolled step.  `A0` is recomputed in-kernel
+    (gr0 = -2 D^T x) — fp-identical module the matmul split; the
+    argument is kept for signature parity with the XLA builder."""
+    from lyssandra_tpu.ops.pallas_fs import fs_cold_fused
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = Xt.shape[0]
+    idx, mask, theta, gact, gr, done = fs_cold_fused(
+        Dt.T, Xt.T, lam=float(lam), t_unroll=int(t_unroll),
+        n_refine=int(n_refine), block=int(block), interpret=interpret,
+    )
+    pad = ((0, 0), (0, max_active - int(t_unroll)))
+    return (
+        jnp.pad(idx, pad),
+        jnp.pad(mask, pad),
+        jnp.pad(theta, pad),
+        jnp.pad(gact, pad),
+        gr,
+        done,
+        jnp.zeros((N,), bool),
+        jnp.asarray(int(t_unroll), jnp.int32),
+    )
+
+
 def feature_sign(
     D: jax.Array, X: jax.Array, lam: float,
     *, max_active: int = 64, max_iter: int = 100, max_inner: int = 6,
@@ -658,6 +688,7 @@ def feature_sign(
     warm_seed: str = "omp",
     auto_capacity: bool = False, max_cg: int = 32, n_activate: int = 1,
     cold_unroll: int | None = None, n_refine: int = 2,
+    cold_backend: str = "xla",
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -787,7 +818,11 @@ def feature_sign(
         # compact-width steps; stragglers continue in the segments below.
         # Takes precedence over warm seeding — it IS a cold start, just
         # with the small-active-set prefix costed at its true dimension.
-        state = _fs_unrolled_state(
+        # cold_backend="pallas" computes the same state with the fused
+        # VMEM-resident kernel (ops/pallas_fs.py).
+        builder = (_fs_unrolled_state_fused if cold_backend == "pallas"
+                   else _fs_unrolled_state)
+        state = builder(
             Dt, Xt, A0, float(lam),
             t_unroll=min(int(cold_unroll), A_run),
             n_refine=int(n_refine), max_active=A_run,
