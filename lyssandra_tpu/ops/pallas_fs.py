@@ -307,10 +307,15 @@ def fs_cold_fused(
     Tun = int(t_unroll)
     idx_rows = _ceil8(Tun)
     st_rows = _ceil8(3 * Tun + 1)
-    compiler_params = (
-        None if vmem_limit_mb is None else pltpu.CompilerParams(
-            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
-        )
+    if vmem_limit_mb is None:
+        # the gr (K, Nb) value + its (K, Nb) activation/KKT temporaries +
+        # the Tun x (p, Nb) selected-atom stack overflow Mosaic's 16 MB
+        # scoped default already at p=192/depth 8 (20.9 MB measured);
+        # the limit is a compiler knob, not hardware (v5e VMEM = 128 MB)
+        # — raise it rather than fight the estimator (r9 lesson).
+        vmem_limit_mb = 64
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
     )
     idx, st, gr = pl.pallas_call(
         functools.partial(
