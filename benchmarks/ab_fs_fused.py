@@ -40,6 +40,7 @@ def main(quick=False):
         ("pal_un20", dict(cold_unroll=20, cold_backend="pallas")),
         ("pal_un24", dict(cold_unroll=24, cold_backend="pallas")),
         ("pal_un28", dict(cold_unroll=28, cold_backend="pallas")),
+        ("pal_un32", dict(cold_unroll=32, cold_backend="pallas")),
     ]
     res = {"shape": {"N": N, "lam": LAM, "block": BLOCK}}
     for kind, make in (("config4", make_config4),
@@ -53,7 +54,7 @@ def main(quick=False):
         Xt = blocks[0].T
         A0 = jnp.matmul(Xt, Dd, precision=jax.lax.Precision.HIGHEST)
         hand = {}
-        for depth in (8, 12, 16, 20):
+        for depth in (8, 12, 16, 20, 24, 28, 32):
             st = _fs_unrolled_state_fused(
                 Dt, Xt, A0, LAM, t_unroll=depth, n_refine=2,
                 max_active=64)

@@ -50,8 +50,13 @@ def _sign(v):
     return jnp.where(v > 0.0, 1.0, jnp.where(v < 0.0, -1.0, 0.0))
 
 
-def _kernel_fs_cold(x_ref, dt_ref, d_ref, idx_ref, st_ref, gr_ref,
-                    *, p, K, Tun, n_refine, lam, dk_mode):
+def _kernel_fs_cold(lam_ref, x_ref, dt_ref, d_ref, idx_ref, st_ref,
+                    gr_ref, *, p, K, Tun, n_refine, dk_mode):
+    # lam rides in SMEM as a scalar operand (NOT baked into the kernel):
+    # a static lam would recompile the whole Mosaic program per lambda
+    # value (30-270 s each on the remote compile helper) — pathological
+    # for lam sweeps (ADVICE r3).
+    lam = lam_ref[0]
     Nb = x_ref.shape[1]
     x = x_ref[...]                                    # (p, Nb)
     DT = dt_ref[...]                                  # (K, p)
@@ -279,11 +284,11 @@ def _kernel_fs_cold(x_ref, dt_ref, d_ref, idx_ref, st_ref, gr_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lam", "t_unroll", "n_refine", "block", "dk_mode",
+    static_argnames=("t_unroll", "n_refine", "block", "dk_mode",
                      "interpret", "vmem_limit_mb"),
 )
 def fs_cold_fused(
-    D: jax.Array, X: jax.Array, *, lam: float, t_unroll: int,
+    D: jax.Array, X: jax.Array, *, lam, t_unroll: int,
     n_refine: int = 2, block: int = 256, dk_mode: str = "split3",
     interpret: bool = False, vmem_limit_mb: int | None = None,
 ):
@@ -294,11 +299,27 @@ def fs_cold_fused(
     `_fs_unrolled_state` computes, ready for the `_fs_loop` handoff
     padding.  Padding lanes (N not a block multiple) are zero signals:
     their gradient is zero, so they are born done and stay inert.
+    ``lam`` is a TRACED scalar (SMEM operand): sweeping lambda reuses
+    one compiled kernel per shape.
+
+    Shape padding (bitwise-neutral, same policy as `_omp_fused_call`):
+    p is zero-padded to the 8-sublane tile and K to the 128-lane tile —
+    zero rows add only +0.0 to every reduction; zero atoms have
+    exactly-zero gradient, never clear the activation threshold, and
+    the argmin-index tie-break never reaches them (a live lane's max
+    violator is > 0).  Outputs are sliced back to the true K.
     """
-    p, K = D.shape
+    p0, K0 = D.shape
     N = X.shape[1]
     D = D.astype(jnp.float32)
     X = X.astype(jnp.float32)
+    p = _ceil8(p0)
+    K = -(-K0 // 128) * 128
+    if p != p0:
+        D = jnp.pad(D, ((0, p - p0), (0, 0)))
+        X = jnp.pad(X, ((0, p - p0), (0, 0)))
+    if K != K0:
+        D = jnp.pad(D, ((0, 0), (0, K - K0)))
     Np = -(-N // block) * block
     if Np != N:
         X = jnp.concatenate(
@@ -317,13 +338,15 @@ def fs_cold_fused(
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
     )
+    lam_arr = jnp.asarray(lam, jnp.float32).reshape((1,))
     idx, st, gr = pl.pallas_call(
         functools.partial(
             _kernel_fs_cold, p=p, K=K, Tun=Tun, n_refine=int(n_refine),
-            lam=float(lam), dk_mode=dk_mode,
+            dk_mode=dk_mode,
         ),
         grid=(Np // block,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((p, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, p), lambda i: (0, 0),
@@ -346,10 +369,10 @@ def fs_cold_fused(
         ),
         compiler_params=compiler_params,
         interpret=interpret,
-    )(X, D.T, D)
+    )(lam_arr, X, D.T, D)
     idx = idx[:Tun, :N].T
     mask = st[:Tun, :N].T > 0.5
     theta = st[Tun:2 * Tun, :N].T
     gact = st[2 * Tun:3 * Tun, :N].T
     done = st[3 * Tun, :N] > 0.5
-    return idx, mask, theta, gact, gr[:, :N].T, done
+    return idx, mask, theta, gact, gr[:K0, :N].T, done

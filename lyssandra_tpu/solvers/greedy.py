@@ -471,12 +471,14 @@ def _omp_fused_call(D, X, *, T, eps, eps_mode, dense, interpret=False):
         block = 256
         dk_mode = "split3"
         vmem_limit_mb = 40
-    if pp > 256 and vmem_limit_mb is None:
+    if pp > 256:
         # large-p regime: the T x (p, block) selected-atom state (7.3 MB
         # at p=448/T=8/b512) overflows the default the same way huge K
         # does (24.2M scoped measured at p=448, r9).  p=512 verified at
-        # 64MB (1.88M p/s, b512); 40MB suffices through p=448 (1.94M)
-        vmem_limit_mb = 40 if pp <= 448 else 64
+        # 64MB (1.88M p/s, b512); 40MB suffices through p=448 (1.94M).
+        # Combine with the huge-K budget rather than skip (ADVICE r3):
+        # huge K AND large p need the max of both regimes' budgets.
+        vmem_limit_mb = max(vmem_limit_mb or 0, 40 if pp <= 448 else 64)
     if eps_mode:
         # the eps-exit kernel holds its solver state in VMEM scratch
         # ((p + T^2 + T*p) rows of f32 lanes) on top of the (K, block)

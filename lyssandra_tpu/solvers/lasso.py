@@ -480,8 +480,13 @@ def _fs_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, n_refine,
     (a reactivation takes a fresh slot) — capacity waste bounded by
     t_unroll << max_active.
 
-    Compile-time gate (CLAUDE.md unrolled-factorization limit): the
-    graph grows O(t_unroll^2) ops — callers keep t_unroll <= ~10.
+    Compile-time cost: the graph grows O(t_unroll^2) ops — measured
+    ~160 s of XLA *CPU* compile per shape at the TPU-default depth 28
+    (vs ~5 s for the while_loop form).  The policy is backend-gated
+    (``feature_sign``: cold_unroll=None -> 28 on TPU, 0 on CPU); the
+    fused Pallas builder (ops/pallas_fs.py) computes the same state at
+    ~1 s compile and is the escape hatch for compile-cost-sensitive
+    callers.
     """
     N, K = A0.shape
     dt = A0.dtype
@@ -1358,8 +1363,10 @@ def _lars_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, max_active,
     ``max_active`` slots; stragglers continue in the segmented
     while_loop.
 
-    Compile-time gate: the graph grows O(t_unroll^2) ops — callers keep
-    t_unroll <= ~10 (CLAUDE.md unrolled-factorization limit).
+    Compile-time cost: the graph grows O(t_unroll^2) ops (tens of
+    seconds of XLA CPU compile per shape at depth ~12).  The policy is
+    backend-gated (``lars``: cold_unroll=None -> 12 on TPU, 0 on CPU
+    where the compile tax outweighs the win).
     """
     N, K = A0.shape
     dt = A0.dtype

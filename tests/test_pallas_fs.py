@@ -55,6 +55,36 @@ def test_fs_cold_fused_matches_xla_state(problem, lam):
             np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+def test_fs_cold_fused_unaligned_shapes(problem):
+    """p off the 8-sublane tile and K off the 128-lane tile must be
+    zero-padded bitwise-neutrally (ADVICE r3): state parity vs the XLA
+    builder at p=21, K=100."""
+    rng = np.random.default_rng(7)
+    p, K, N = 21, 100, 48
+    D = rng.standard_normal((p, K))
+    D /= np.linalg.norm(D, axis=0)
+    X = rng.standard_normal((p, N))
+    X /= np.linalg.norm(X, axis=0)
+    Dj = jnp.asarray(D, jnp.float32)
+    Xj = jnp.asarray(X, jnp.float32)
+    Dt, Xt = Dj.T, Xj.T
+    A0 = jnp.matmul(Xj.T, Dj, precision=_HI)
+    lam = 0.1
+    ref = lasso._fs_unrolled_state(
+        Dt, Xt, A0, lam, t_unroll=4, n_refine=2, max_active=12)
+    fus = lasso._fs_unrolled_state_fused(
+        Dt, Xt, A0, lam, t_unroll=4, n_refine=2, max_active=12,
+        block=16)
+    names = ["idx", "mask", "theta", "gact", "gr", "done", "ovf", "t"]
+    for name, a, b in zip(names, ref, fus):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, name
+        if a.dtype in (np.bool_, np.int32):
+            assert np.array_equal(a, b), name
+        else:
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
 def test_feature_sign_pallas_cold_backend_same_optimum(problem):
     D, X = problem
     Dj = jnp.asarray(D, jnp.float32)
