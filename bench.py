@@ -4,34 +4,83 @@ Measures
   - the CPU reference baseline: the in-tree NumPy oracle (the reference
     publishes no numbers — BASELINE.md — so the baseline is the oracle
     measured on this machine's CPU), and
-  - the TPU implementation: batched Batch-OMP lax.scan on the local chip.
+  - the TPU implementation: the fused Pallas Batch-OMP solver on the
+    local chip.
+
+Variance control (VERDICT r3 task #4 — the r2->r3 headline ratio swung
+29% with zero code change because BOTH sides were single samples):
+  - The CPU-oracle denominator is PINNED: measured once (median of 5
+    samples), committed to benchmarks/results/cpu_oracle_pinned.json,
+    and re-measured only deliberately (--remeasure-oracle).  The oracle
+    rate on this 1-core box is session-dependent (733-976 p/s observed
+    across driver runs); a pinned denominator makes the ratio a pure
+    function of the TPU numerator.
+  - The TPU numerator is the MEDIAN of 3 back-to-back captures (each
+    capture is itself best-of-5 dispatch timings per shape), with the
+    capture spread recorded in the detail JSON.
+  - A host-load check is recorded: throughput readings right after a
+    CPU-heavy job run ~30% low on this box (CLAUDE.md) — the JSON says
+    whether the machine was quiet.
 
 Prints ONE JSON line:
   {"metric": ..., "value": tpu_patches_per_sec, "unit": "patches/s",
    "vs_baseline": tpu/cpu_ratio}
-Details (including denoising PSNR parity when cheap) go to
-benchmarks/results/.
+Details go to benchmarks/results/latest.json.
 """
 
+import argparse
 import json
 import os
+import statistics
 import time
 
 import numpy as np
 
 P, K, T = 64, 1024, 8
-CPU_N = 512          # oracle patches for the baseline measurement
+CPU_N = 512          # oracle patches per baseline sample
 TPU_BLOCK = 32768    # lanes per device step
 TPU_STEPS = 8        # timed steps (blocks)
+N_CAPTURES = 3       # TPU captures; headline = median
+PINNED_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "results", "cpu_oracle_pinned.json",
+)
 
 
-def measure_cpu_oracle(D, X):
+def measure_cpu_oracle(D, X, n_samples=5):
+    """Median-of-n oracle rate + the raw samples (for the pinned file)."""
     from lyssandra_tpu import oracle
 
-    t0 = time.perf_counter()
-    oracle.batch_omp(D[:, :], X[:, :CPU_N], T)
-    dt = time.perf_counter() - t0
-    return CPU_N / dt
+    samples = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        oracle.batch_omp(D[:, :], X[:, :CPU_N], T)
+        samples.append(CPU_N / (time.perf_counter() - t0))
+    return statistics.median(samples), samples
+
+
+def pinned_cpu_oracle(D, X, remeasure=False):
+    """The committed denominator; (re)measured only on request."""
+    if not remeasure and os.path.exists(PINNED_PATH):
+        with open(PINNED_PATH) as f:
+            pin = json.load(f)
+        return pin["cpu_oracle_patches_per_sec"], pin
+    med, samples = measure_cpu_oracle(D, X)
+    from benchmarks import stamp
+    pin = stamp({
+        "cpu_oracle_patches_per_sec": round(med, 1),
+        "samples_patches_per_sec": [round(s, 1) for s in samples],
+        "n_patches_per_sample": CPU_N,
+        "shape": {"p": P, "K": K, "T": T},
+        "note": ("Pinned fp64 NumPy-oracle denominator for bench.py "
+                 "(median of 5 samples on a quiet 1-core box). "
+                 "Re-measure ONLY deliberately: "
+                 "python bench.py --remeasure-oracle"),
+    })
+    os.makedirs(os.path.dirname(PINNED_PATH), exist_ok=True)
+    with open(PINNED_PATH, "w") as f:
+        json.dump(pin, f, indent=2)
+    return med, pin
 
 
 def measure_tpu(D, Xblocks):
@@ -57,40 +106,14 @@ def measure_tpu(D, Xblocks):
         _, chk = run(Xb)
         float(np.asarray(chk))
 
-    best = np.inf
-    # best-of-5: same-session throughput can swing ~20% on the tunneled
-    # backend (measured r3); more reps cost ~50 ms each and tighten the
-    # capture
-    for _ in range(5):
-        t0 = time.perf_counter()
-        chks = [run(Xb)[1] for Xb in blocks]
-        total = jnp.sum(jnp.stack(chks))   # depends on every block's result
-        float(np.asarray(total))
-        best = min(best, time.perf_counter() - t0)
-    multi = len(blocks) * blocks[0].shape[1] / best
-
-    # production shape: the SAME patches as ONE whole-batch dispatch (the
-    # kernel grids over 512-lane blocks internally) — at N=1e6 the
-    # per-dispatch host overhead capped the chunked form 3x below the
-    # single-dispatch rate (benchmarks/results/huge_n_compact.json, r4)
+    # production shapes, built once (device-side) and reused per capture:
+    #  - chunked: 8 back-to-back 32k dispatches
+    #  - single:  the same 262k patches as ONE dispatch
+    #  - big:     one 1M-patch dispatch (4 reshuffled copies, device-side
+    #    concat — no extra 768 MB host transfer, lane blocks differ so the
+    #    kernel cannot reuse per-block state); compute dominates the ~31 ms
+    #    tunnel round trip only at this size (huge_n_compact.json, r4)
     Xall = jnp.concatenate(blocks, axis=1)
-    _, chk = run(Xall)
-    float(np.asarray(chk))
-    best1 = np.inf
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _, chk = run(Xall)
-        float(np.asarray(chk))
-        best1 = min(best1, time.perf_counter() - t0)
-    single = Xall.shape[1] / best1
-
-    # sustained shape: one 1M-patch dispatch.  The 262k dispatch spends
-    # ~31 ms (the tunnel round trip) of its ~52 ms wall — the sustained
-    # kernel rate only shows once compute dominates the fetch latency
-    # (8.4M patches/s at N=1e6 vs 5.1M at 262k, r4 huge_n_compact.json).
-    # Device-side concat of 4 reshuffled copies: no extra 768 MB host
-    # transfer, and the lane blocks differ so the kernel cannot reuse
-    # per-block state.
     key = jax.random.PRNGKey(0)
     perms = [
         jax.random.permutation(k, Xall.shape[1])
@@ -99,31 +122,59 @@ def measure_tpu(D, Xblocks):
     Xbig = jnp.concatenate(
         [Xall] + [Xall[:, pm] for pm in perms], axis=1
     )
-    _, chk = run(Xbig)
-    float(np.asarray(chk))
-    bestb = np.inf
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _, chk = run(Xbig)
+    for Xb in (Xall, Xbig):
+        _, chk = run(Xb)
         float(np.asarray(chk))
-        bestb = min(bestb, time.perf_counter() - t0)
-    big = Xbig.shape[1] / bestb
-    return multi, single, big
+
+    def capture():
+        """One capture: best-of-5 per shape (same-session swings ~20%
+        on the tunneled backend, measured r3)."""
+        best = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            chks = [run(Xb)[1] for Xb in blocks]
+            total = jnp.sum(jnp.stack(chks))  # depends on every block
+            float(np.asarray(total))
+            best = min(best, time.perf_counter() - t0)
+        multi = len(blocks) * blocks[0].shape[1] / best
+        single = big = None
+        for name, Xb in (("single", Xall), ("big", Xbig)):
+            b = np.inf
+            for _ in range(5):
+                t0 = time.perf_counter()
+                _, chk = run(Xb)
+                float(np.asarray(chk))
+                b = min(b, time.perf_counter() - t0)
+            rate = Xb.shape[1] / b
+            if name == "single":
+                single = rate
+            else:
+                big = rate
+        return multi, single, big
+
+    return [capture() for _ in range(N_CAPTURES)]
 
 
-def main():
+def main(remeasure_oracle=False):
     rng = np.random.default_rng(0)
     D = rng.standard_normal((P, K))
     D /= np.linalg.norm(D, axis=0, keepdims=True)
     Xcpu = rng.standard_normal((P, CPU_N))
-    cpu_pps = measure_cpu_oracle(D, Xcpu)
+    cpu_pps, pin = pinned_cpu_oracle(D, Xcpu, remeasure=remeasure_oracle)
+
+    # host-load check BEFORE the timed TPU section (1-core box: load ~0
+    # when quiet; >0.5 means something CPU-heavy ran recently and TPU
+    # readings can be ~30% low)
+    load1, load5, _ = os.getloadavg()
 
     Xblocks = [
         rng.standard_normal((P, TPU_BLOCK)).astype(np.float32)
         for _ in range(TPU_STEPS)
     ]
-    multi_pps, single_pps, big_pps = measure_tpu(D, Xblocks)
-    tpu_pps = max(multi_pps, single_pps, big_pps)
+    captures = measure_tpu(D, Xblocks)
+    headlines = sorted(max(c) for c in captures)
+    tpu_pps = statistics.median(headlines)
+    spread = (headlines[-1] - headlines[0]) / headlines[-1]
 
     import jax
 
@@ -136,15 +187,34 @@ def main():
     detail = {
         **result,
         "cpu_oracle_patches_per_sec": round(cpu_pps, 1),
+        "cpu_oracle_pinned": not remeasure_oracle
+        and os.path.exists(PINNED_PATH),
+        "cpu_oracle_provenance": {
+            k: pin.get(k)
+            for k in ("generated_utc", "git_rev", "samples_patches_per_sec")
+        },
         "device": str(jax.devices()[0]),
         "patch_dim": P,
         "n_atoms": K,
         "sparsity": T,
         "tpu_block": TPU_BLOCK,
         "tpu_patches_timed": TPU_BLOCK * TPU_STEPS,
-        "chunked_8x32k_patches_per_sec": round(multi_pps, 1),
-        "single_dispatch_262k_patches_per_sec": round(single_pps, 1),
-        "single_dispatch_1m_patches_per_sec": round(big_pps, 1),
+        "n_captures": N_CAPTURES,
+        "capture_headline_patches_per_sec": [round(h, 1) for h in headlines],
+        "capture_spread_rel": round(spread, 4),
+        "chunked_8x32k_patches_per_sec":
+            round(statistics.median([c[0] for c in captures]), 1),
+        "single_dispatch_262k_patches_per_sec":
+            round(statistics.median([c[1] for c in captures]), 1),
+        "single_dispatch_1m_patches_per_sec":
+            round(statistics.median([c[2] for c in captures]), 1),
+        "host_loadavg_1m_at_start": round(load1, 2),
+        "host_loadavg_5m_at_start": round(load5, 2),
+        "host_quiet": load5 < 0.5,
+        "load_note": ("readings right after a CPU-heavy job run ~30% low "
+                      "on this box (CLAUDE.md); host_quiet=false means "
+                      "re-measure on a quiet machine before believing a "
+                      "regression"),
     }
     from benchmarks import stamp
     os.makedirs("benchmarks/results", exist_ok=True)
@@ -154,4 +224,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--remeasure-oracle", action="store_true",
+                    help="re-measure and re-pin the CPU-oracle "
+                         "denominator (deliberate act)")
+    args = ap.parse_args()
+    main(remeasure_oracle=args.remeasure_oracle)

@@ -23,7 +23,7 @@ import numpy as np
 from sklearn.datasets import load_digits
 from sklearn.model_selection import train_test_split
 
-SEEDS = (0, 1, 2, 3, 4)
+SEEDS = tuple(range(10))
 
 
 def _split():
@@ -85,6 +85,27 @@ def main(skip_oracle=False):
             res["tpu_band"][0] <= res["oracle_band"][1]
             and res["oracle_band"][0] <= res["tpu_band"][1]
         )
+        # paired analysis (VERDICT r3 task #5): band overlap hides a
+        # one-sided gap — the r3 5-seed data had TPU losing on 4/5 seeds
+        # (mean -1.3 pp).  Same seed = same dictionary init = paired
+        # samples; report the per-seed difference, its sign pattern, and
+        # whether the mean gap is inside 2 standard errors of the
+        # paired noise.
+        diffs = [t - o for t, o in zip(tpu_accs, orc_accs)]
+        n = len(diffs)
+        mean_d = float(np.mean(diffs))
+        sd = float(np.std(diffs, ddof=1))
+        sem = sd / np.sqrt(n)
+        res["paired_diff_tpu_minus_oracle"] = diffs
+        res["paired_mean_diff"] = mean_d
+        res["paired_sd"] = sd
+        res["paired_sem"] = sem
+        res["paired_sign_pattern"] = "".join(
+            "+" if d > 0 else ("-" if d < 0 else "0") for d in diffs
+        )
+        res["paired_mean_within_2sem"] = bool(abs(mean_d) <= 2 * sem)
+        # t statistic (n-1 dof); |t| > ~2.26 at n=10 rejects "no gap"
+        res["paired_t"] = float(mean_d / max(sem, 1e-12))
 
     from benchmarks import write_result
 

@@ -376,7 +376,11 @@ def config6(quick=False, run_oracle=False):
     )
     imgs_tr = np.stack([im for im, _ in train]).astype(np.float32)
     imgs_te = np.stack([im for im, _ in test]).astype(np.float32)
-    _sync(fe.transform(imgs_tr[:4]))        # compile outside timing
+    # compile outside timing — a FULL img_block so the timed loop reuses
+    # the same executable (the old 4-image warm-up compiled a shape the
+    # timed run never used; with partial-block padding there is exactly
+    # ONE block shape now — profile_features.json r4)
+    _sync(fe.transform(imgs_tr[: fe.img_block]))
     t0 = time.perf_counter()
     Ftr = fe.transform(imgs_tr)
     Fte = fe.transform(imgs_te)

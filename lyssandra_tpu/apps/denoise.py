@@ -28,9 +28,11 @@ from lyssandra_tpu.solvers.encoder import SparseEncoder
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "T1", "T_max", "cap", "interpret")
+    jax.jit,
+    static_argnames=("eps", "T1", "T_max", "cap", "order", "interpret"),
 )
-def _eps_two_phase(D, Xc, *, eps, T1, T_max, cap=4096, interpret=False):
+def _eps_two_phase(D, Xc, *, eps, T1, T_max, cap=4096, order="raster",
+                   interpret=False):
     """Device-resident two-phase error-constrained coder.
 
     Phase 1: one fused-kernel eps-mode pass capped at T1 atoms (measured:
@@ -51,10 +53,34 @@ def _eps_two_phase(D, Xc, *, eps, T1, T_max, cap=4096, interpret=False):
 
     K = D.shape[1]
     N = Xc.shape[1]
+    if order == "energy":
+        # difficulty-ordered lanes (VERDICT r3 task #6): the eps-exit
+        # kernel's per-block early exit pays only on trip-count-
+        # homogeneous 512-lane blocks (+11% oracle-sorted, neutral
+        # random/raster — CLAUDE.md r7).  Post-DC patch energy is a
+        # cheap on-device difficulty proxy (flat/noise-only patches
+        # converge in 1-2 atoms, textured ones run to 6-8); ONE XLA
+        # sort + two compact-row gathers keep the whole reorder inside
+        # this program (the dense (K, N) Gamma is never permuted).
+        perm = jnp.argsort(jnp.sum(Xc * Xc, axis=0))
+        inv = jnp.zeros((N,), jnp.int32).at[perm].set(
+            jnp.arange(N, dtype=jnp.int32)
+        )
+        Xc = jnp.take(Xc, perm, axis=1)
     res = _omp_fused_call(
         D, Xc, T=T1, eps=eps, eps_mode=True, dense=False,
         interpret=interpret,
     )
+    if order == "energy":
+        from lyssandra_tpu.solvers.greedy import GreedyResult
+
+        res = GreedyResult(
+            jnp.take(res.idx, inv, axis=0),
+            jnp.take(res.gamma, inv, axis=0),
+            jnp.take(res.err, inv, axis=0),
+            jnp.take(res.nsel, inv, axis=0),
+        )
+        Xc = jnp.take(Xc, inv, axis=1)    # restore for the phase-2 loop
     Gamma = res.dense(K)
     bad0 = (res.nsel == T1) & (res.err > eps * eps)
 
@@ -82,9 +108,10 @@ def _eps_two_phase(D, Xc, *, eps, T1, T_max, cap=4096, interpret=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "eps", "T1", "T_max", "lam_w")
+    jax.jit, static_argnames=("p", "eps", "T1", "T_max", "lam_w", "order")
 )
-def _denoise_fused_impl(D, noisy, *, p, eps, T1, T_max, lam_w):
+def _denoise_fused_impl(D, noisy, *, p, eps, T1, T_max, lam_w,
+                        order="raster"):
     """The whole denoise forward as ONE device program: fused patch
     pipeline -> device-resident two-phase eps coder -> reconstruction ->
     overlap-add blend.  eps/lam_w are static (they derive from the config
@@ -96,7 +123,8 @@ def _denoise_fused_impl(D, noisy, *, p, eps, T1, T_max, lam_w):
         Xc, means = remove_dc(extract_patches(noisy, p))
     else:
         Xc, means, _ = fused_patch_pipeline(noisy, p, do_dc=True)
-    Gamma = _eps_two_phase(D, Xc, eps=eps, T1=T1, T_max=T_max)
+    Gamma = _eps_two_phase(D, Xc, eps=eps, T1=T1, T_max=T_max,
+                           order=order)
     Xhat = D @ Gamma + means[None, :]
     return weighted_reconstruct(Xhat, noisy, p, lam_w)
 
@@ -141,7 +169,7 @@ class Denoiser:
         if self._fast_path(Xc.dtype):
             return _eps_two_phase(
                 self.D, Xc, eps=float(eps), T1=min(10, cfg.T_max),
-                T_max=cfg.T_max,
+                T_max=cfg.T_max, order=cfg.order,
             )
         enc = SparseEncoder(
             "bomp", {"T": cfg.T_max, "eps": eps},
@@ -166,7 +194,7 @@ class Denoiser:
             return _denoise_fused_impl(
                 self.D, noisy, p=p, eps=float(eps),
                 T1=min(10, cfg.T_max), T_max=cfg.T_max,
-                lam_w=float(lam_w),
+                lam_w=float(lam_w), order=cfg.order,
             )
 
         if noisy.ndim == 3:

@@ -108,11 +108,25 @@ class FeatureExtractor:
         B = imgs.shape[0]
         if B <= self.img_block:
             return self._transform_block(imgs)
+        # pad the trailing partial block to img_block with zero images
+        # (r4, profile_features): every distinct block shape compiles a
+        # fresh executable on the remote helper (30-120 s) — a 240-image
+        # transform at img_block=64 used to compile THREE shapes
+        # (64, 48, and the warm-up's).  Zero images are inert: zero
+        # patches stay zero through DC/contrast/whitening (linear /
+        # guarded by eps) and code to zero; their pooled rows are
+        # sliced off below.
+        pad = (-B) % self.img_block
+        if pad:
+            imgs = jnp.concatenate(
+                [imgs, jnp.zeros((pad,) + imgs.shape[1:], imgs.dtype)],
+                axis=0,
+            )
         feats = [
             self._transform_block(imgs[b : b + self.img_block])
-            for b in range(0, B, self.img_block)
+            for b in range(0, B + pad, self.img_block)
         ]
-        return jnp.concatenate(feats, axis=0)
+        return jnp.concatenate(feats, axis=0)[:B]
 
     def _transform_block(self, imgs) -> jax.Array:
         B, H, W = imgs.shape

@@ -130,6 +130,11 @@ class DenoiseConfig:
     lam: float = 0.5
     T_max: int = 32
     block: int = 16384           # patches coded per device step (HBM chunking)
+    # lane ordering fed to the eps-exit kernel's 512-lane blocks:
+    # "raster" (extraction order) or "energy" (in-program sort by
+    # post-DC patch energy — trip-count-homogeneous blocks let the
+    # kernel's per-block early exit pay; see ab_denoise_order.json)
+    order: str = "raster"
 
 
 @dataclass(frozen=True)

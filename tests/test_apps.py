@@ -224,6 +224,34 @@ def test_eps_two_phase_device_resident_straggler_loop(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_eps_two_phase_energy_order_identical(rng):
+    """order='energy' (in-program difficulty sort, VERDICT r3 task #6)
+    must return EXACTLY what raster order returns: lanes are coded
+    independently, the per-block early exit only skips steps for
+    already-frozen lanes, and the inverse permutation restores
+    extraction order before the dense scatter."""
+    from lyssandra_tpu.apps.denoise import _eps_two_phase
+
+    p, K, N, T_max = 16, 64, 80, 6
+    D = rng.standard_normal((p, K)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    G0 = np.zeros((K, N), np.float32)
+    for i in range(N):
+        sup = rng.choice(K, size=1 + (i % 5), replace=False)
+        G0[sup, i] = rng.standard_normal(len(sup))
+    X = (D @ G0 + 0.01 * rng.standard_normal((p, N))).astype(np.float32)
+    a = np.asarray(
+        _eps_two_phase(jnp.asarray(D), jnp.asarray(X), eps=0.05, T1=4,
+                       T_max=T_max, cap=16, interpret=True)
+    )
+    b = np.asarray(
+        _eps_two_phase(jnp.asarray(D), jnp.asarray(X), eps=0.05, T1=4,
+                       T_max=T_max, cap=16, order="energy",
+                       interpret=True)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.slow
 def test_eps_two_phase_no_stragglers(rng):
     """Common case: every lane converges in phase 1 (zero loop trips)."""

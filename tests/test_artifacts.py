@@ -38,11 +38,51 @@ def test_lcksvd_accuracy_inside_seed_band():
 
 
 def test_artifacts_carry_provenance_stamp():
-    # every artifact regenerated since r8 must be stamped (staleness
-    # detectable: benchmarks/__init__.py stamp())
+    # every reader-facing artifact must be stamped (staleness
+    # detectable: benchmarks/__init__.py stamp()) — extended to the
+    # full config list in r4 (VERDICT r3 task #2: config1/3/4/5/6
+    # were r4-r6-era captures with no stamp at all)
     stamped = [
         "solver_throughput.json", "eps_sustained.json",
+        "config1.json", "config2.json", "config3.json",
+        "config4.json", "config5.json", "config6.json",
+        "lcksvd_seeds.json", "cpu_oracle_pinned.json",
     ]
     for name in stamped:
         res = _load(name)
         assert "git_rev" in res and "generated_utc" in res, name
+
+
+def test_headline_artifacts_generated_from_clean_tree():
+    # stamps that say "dirty" detect staleness but don't prevent
+    # unreproducibility (VERDICT r3 weak #7): headline artifacts must
+    # come from a committed tree
+    headline = [
+        "config1.json", "config2.json", "config3.json",
+        "config4.json", "config5.json", "config6.json",
+        "lcksvd_seeds.json", "cpu_oracle_pinned.json",
+    ]
+    for name in headline:
+        res = _load(name)
+        assert res.get("git_dirty") is False, (
+            name, res.get("git_rev"), res.get("git_dirty"))
+
+
+def test_lcksvd_paired_gap_within_recorded_bound():
+    # BASELINE configs[4] parity bar is "accuracy parity (exact or
+    # +-noise)": with >=10 paired seeds the mean TPU-oracle gap must be
+    # inside 2 standard errors of the paired noise, or the artifact
+    # must explicitly record the measured deficit (documented fp32
+    # cost) — either way the committed claim and data must agree.
+    band = _load("lcksvd_seeds.json")
+    if "paired_mean_diff" not in band:
+        pytest.skip("pre-r4 artifact without paired analysis")
+    mean_d = band["paired_mean_diff"]
+    sem = band["paired_sem"]
+    if band["paired_mean_within_2sem"]:
+        assert abs(mean_d) <= 2 * sem + 1e-12
+    else:
+        # a real measured deficit: must be recorded and small (<2 pp)
+        assert "measured_deficit_note" in band, (
+            "one-sided gap beyond noise but no committed explanation")
+        assert abs(mean_d) < 0.02, mean_d
