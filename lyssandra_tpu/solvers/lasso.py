@@ -483,10 +483,12 @@ def _fs_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, n_refine,
     Compile-time cost: the graph grows O(t_unroll^2) ops — measured
     ~160 s of XLA *CPU* compile per shape at the TPU-default depth 28
     (vs ~5 s for the while_loop form).  The policy is backend-gated
-    (``feature_sign``: cold_unroll=None -> 28 on TPU, 0 on CPU); the
-    fused Pallas builder (ops/pallas_fs.py) computes the same state at
-    ~1 s compile and is the escape hatch for compile-cost-sensitive
-    callers.
+    (``feature_sign``: cold_unroll=None -> 28 on TPU, 0 on CPU).  The
+    fused Pallas builder (ops/pallas_fs.py) pays the SAME order of
+    compile cost (~24 s at depth 8 to ~400 s at depth 24, Mosaic;
+    the r3 "~1 s" reads were pre-warmed — ab_fs_fused.json r4); its
+    win over this XLA form is RUNTIME (VMEM-resident state), not
+    compile time.
     """
     N, K = A0.shape
     dt = A0.dtype
