@@ -695,7 +695,7 @@ def feature_sign(
     warm_seed: str = "omp",
     auto_capacity: bool = False, max_cg: int = 32, n_activate: int = 1,
     cold_unroll: int | None = None, n_refine: int = 2,
-    cold_backend: str = "xla",
+    cold_backend: str | None = None,
 ):
     """Batched feature-sign search (oracle.feature_sign / oracle.lasso).
 
@@ -749,6 +749,20 @@ def feature_sign(
     NOTES_r8), 0 on CPU where the unrolled graph's XLA compile is ~30x
     the while_loop's.
 
+    ``cold_backend``: which builder computes the unrolled cold state.
+    Default None = backend-dependent: "pallas" on TPU (the fused
+    VMEM-resident kernel, ops/pallas_fs.py), "xla" elsewhere.  The r4
+    same-session grid (ab_fs_fused.json) at depth 28: pallas 28.1k p/s
+    vs xla 21.1k at the config-4 operating point (+33%; every lane
+    finishes inside the kernel there) and parity on the coherent
+    regime (3.54k vs 3.58k).  THE TRADE IS COMPILE TIME: the depth-28
+    Mosaic program costs ~1,900 s (~31 min) of one-time remote compile
+    per shape vs ~370 s for the XLA unroll — pass
+    ``cold_backend="xla"`` when shapes don't repeat enough to amortize
+    it (sweeps over many fresh (N, K, p) shapes, exploratory runs).
+    lam is a traced SMEM scalar in both builders: lambda sweeps reuse
+    one executable either way.
+
     ``auto_capacity``: run at a 16-slot active-set width and re-solve
     lanes that overflow it exactly at ``max_active`` — same result (the
     lasso optimum is capacity-independent once capacity covers the
@@ -799,6 +813,15 @@ def feature_sign(
         # while_loop form), so CPU backends default to the plain cold
         # start.  Pass cold_unroll explicitly to override either way.
         cold_unroll = 28 if jax.default_backend() == "tpu" else 0
+    if cold_backend is None:
+        # measured r4 (ab_fs_fused.json, same-session grid): the fused
+        # Pallas builder is +33% at the config-4 operating point at
+        # depth 28 (28.1k vs 21.1k p/s; done_at_handoff = 1.0) and
+        # parity on the coherent regime — but its depth-28 Mosaic
+        # compile is ~1,900 s one-time per shape (vs ~370 s XLA).
+        # Warm-throughput-first default, same policy as cold_unroll;
+        # see the docstring for when to force "xla".
+        cold_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     # run in segments of <= 16 outer iterations per device program: one
     # monolithic while_loop can run minutes of device time on dense
     # problems and trip the TPU worker's kernel watchdog.  Segments are
@@ -930,7 +953,7 @@ def feature_sign(
             warm_start=warm_start, warm_seed=warm_seed,
             auto_capacity=False, max_cg=max_cg,
             n_activate=n_activate, cold_unroll=cold_unroll,
-            n_refine=n_refine,
+            n_refine=n_refine, cold_backend=cold_backend,
         )
         colsj = jnp.asarray(cols)
         res = FeatureSignResult(
