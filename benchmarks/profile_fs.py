@@ -214,9 +214,14 @@ def main(quick=False):
     out["segments_block4096"] = segs
 
     # ---- 3. 32k probe: compaction A/B through the encoder route --------
+    # cold_backend pinned to "xla": this section measures COMPACTION,
+    # and the shipped pallas default's depth-28 Mosaic compile is
+    # ~1,900 s one-time per shape in a fresh process (ab_fs_fused.json)
+    # — the pallas end-to-end numbers live in that artifact
     def run(compact):
         enc = SparseEncoder("lasso", {"lam": LAM,
-                                      "compact_stragglers": compact},
+                                      "compact_stragglers": compact,
+                                      "cold_backend": "xla"},
                             check_atoms=False)
         G = enc.encode(X, D)
         _sync(G)
@@ -241,6 +246,108 @@ def main(quick=False):
     out["objective_identical_rel"] = abs(
         out["compacted"]["objective"] - out["baseline"]["objective"]
     ) / abs(out["baseline"]["objective"])
+
+    # ---- 4. coherent-regime post-handoff floor (VERDICT r3 task #1c) ---
+    # The r4 grid (ab_fs_fused.json) leaves the coherent regime at
+    # ~3.5k p/s with only 21% of lanes done at the depth-28 handoff —
+    # the time is in the segmented full-width while_loop.  Decompose:
+    # (a) per-segment wall + done counts at the production 2048-lane
+    # block, from the depth-28 handoff state; (b) the per-outer-
+    # iteration dependent op chain measured at the SAME lane count
+    # (grad + gather/gram + CG + r5 line search); (c) implied per-outer
+    # wall vs that chain = how much headroom a fused segment kernel
+    # could even target.
+    from benchmarks.ab_fs_activate import make_coherent
+    from lyssandra_tpu.solvers.lasso import _fs_unrolled_state
+
+    Nc = 2048
+    Dc, Xc = make_coherent(Nc)
+    Dct, Xct = Dc.T, Xc.T
+    A0c = jnp.matmul(Xct, Dc, precision=jax.lax.Precision.HIGHEST)
+    _sync(A0c)
+    coh = {"lanes": Nc, "handoff_depth": 28}
+    t0 = time.perf_counter()
+    st = _fs_unrolled_state(Dct, Xct, A0c, LAM, t_unroll=28,
+                            n_refine=2, max_active=A)
+    nd = int(np.asarray(jnp.sum(st[5])))
+    coh["handoff_cold_seconds"] = round(time.perf_counter() - t0, 1)
+    coh["done_at_handoff"] = round(nd / Nc, 4)
+    # compile the (2048,) segment executable OUTSIDE the timed region
+    # (one throwaway segment from a copy of the handoff state) so
+    # seg0's wall is warm — the whole point is per-outer-iteration cost
+    _st_warm, _ = _feature_sign_impl(
+        Dct, Xct, A0c, LAM, st, max_active=A, max_iter=16, max_inner=6)
+    _sync(_st_warm[0])
+    segs_c = []
+    for s in range(12):
+        t0 = time.perf_counter()
+        st, res_c = _feature_sign_impl(
+            Dct, Xct, A0c, LAM, st, max_active=A, max_iter=16,
+            max_inner=6,
+        )
+        nd = int(np.asarray(jnp.sum(st[5])))
+        segs_c.append({
+            "segment": s, "seconds": round(time.perf_counter() - t0, 4),
+            "done": nd, "frac_done": round(nd / Nc, 4),
+        })
+        if nd == Nc:
+            break
+    coh["segments_block2048"] = segs_c
+    # phase chain at the same 2048 lanes (warm, in-program repetition)
+    rng2 = np.random.default_rng(3)
+    g2 = jnp.asarray(rng2.standard_normal((Nc, K)) * 0.01, jnp.float32)
+    idx2 = jnp.asarray(rng2.integers(0, K, (Nc, A)), jnp.int32)
+    rhs2 = jnp.asarray(rng2.standard_normal((Nc, A)), jnp.float32)
+    Dact2 = jnp.take(Dct, idx2, axis=0)
+    M2 = jnp.einsum("nap,nbp->nab", Dact2, Dact2,
+                    precision=jax.lax.Precision.HIGHEST)
+
+    def grad2(g):
+        R = jnp.matmul(g, Dct, precision=jax.lax.Precision.HIGHEST) - Xct
+        return g + 1e-6 * 2.0 * jnp.matmul(
+            R, Dct.T, precision=jax.lax.Precision.HIGHEST)
+
+    def gg2(i):
+        Da = jnp.take(Dct, i, axis=0)
+        Mm = jnp.einsum("nap,nbp->nab", Da, Da,
+                        precision=jax.lax.Precision.HIGHEST)
+        return (i + Mm[:, :1, 0].astype(jnp.int32) * 0) % K
+
+    def cg2(r):
+        def op(v):
+            return jnp.einsum("nab,nb->na", M2, v,
+                              precision=jax.lax.Precision.HIGHEST) + 1e-6 * v
+        x = jnp.zeros_like(r)
+        rr = r - op(x)
+        pv, rs = rr, jnp.sum(rr * rr, axis=1)
+        for _ in range(8):
+            Mp = op(pv)
+            al = rs / (jnp.sum(pv * Mp, axis=1) + 1e-30)
+            x = x + al[:, None] * pv
+            rr = rr - al[:, None] * Mp
+            rs2 = jnp.sum(rr * rr, axis=1)
+            pv = rr + (rs2 / (rs + 1e-30))[:, None] * pv
+            rs = rs2
+        return r + 1e-6 * x
+
+    coh["phase_ms_at_2048"] = {
+        "grad_full": repeat_ms(grad2, g2),
+        "gather_gram": repeat_ms(gg2, idx2),
+        "cg8": repeat_ms(cg2, rhs2),
+    }
+    ph = coh["phase_ms_at_2048"]
+    # chain per outer iteration at the r6 defaults: 1 grad+activation,
+    # 1 active-set rebuild, up to max_inner=6 refinements each paying a
+    # warm CG + the two-dot r5 line search (folded into cg8's scale)
+    chain_lo = ph["grad_full"] + ph["gather_gram"] + ph["cg8"]
+    chain_hi = ph["grad_full"] + ph["gather_gram"] + 6 * ph["cg8"]
+    coh["per_outer_chain_ms"] = {"1_refine": round(chain_lo, 3),
+                                 "6_refine": round(chain_hi, 3)}
+    if segs_c:
+        # implied per-outer wall from the first full segment (16 iters)
+        coh["per_outer_actual_ms_seg0"] = round(
+            1e3 * segs_c[0]["seconds"] / 16.0, 3)
+    out["coherent_floor"] = coh
 
     os.makedirs(RESULTS_DIR, exist_ok=True)
     path = os.path.join(RESULTS_DIR, "profile_fs.json")
