@@ -131,9 +131,13 @@ class DenoiseConfig:
     T_max: int = 32
     block: int = 16384           # patches coded per device step (HBM chunking)
     # lane ordering fed to the eps-exit kernel's 512-lane blocks:
-    # "raster" (extraction order) or "energy" (in-program sort by
-    # post-DC patch energy — trip-count-homogeneous blocks let the
-    # kernel's per-block early exit pay; see ab_denoise_order.json)
+    # "raster" (extraction order, DEFAULT) or "energy" (in-program sort
+    # by post-DC patch energy — trip-count-homogeneous blocks let the
+    # kernel's per-block early exit pay).  Measured r4
+    # (ab_denoise_order.json, outputs bitwise identical): energy is
+    # +13.9% at 512^2 but -20% at 1024^2 — the full argsort over 1M
+    # lanes is the known VPU anti-pattern (CLAUDE.md r4) and outgrows
+    # the early-exit ceiling (~11%).  Opt in for <=512^2 images only.
     order: str = "raster"
 
 
