@@ -330,17 +330,39 @@ def main(quick=False):
             rs = rs2
         return r + 1e-6 * x
 
+    def scatter_dense2(ga):
+        # the dense() scatter-add in outer_step: (Nc, A) slot values into
+        # an (Nc, K) zero canvas — scatters are the one op class
+        # CLAUDE.md flags as a TPU anti-pattern, and the chain below
+        # would silently blame the matmuls if this is the real cost
+        z = jnp.zeros((Nc, K), jnp.float32)
+        d = z.at[jnp.arange(Nc)[:, None], idx2].add(ga)
+        return ga + 1e-6 * jnp.take_along_axis(d, idx2, axis=1)
+
+    def scatter_isactive2(ga):
+        z = jnp.zeros((Nc, K), bool).at[
+            jnp.arange(Nc)[:, None], idx2
+        ].max(ga > 0)
+        return ga + 1e-6 * jnp.take_along_axis(
+            z.astype(jnp.float32), idx2, axis=1)
+
     coh["phase_ms_at_2048"] = {
         "grad_full": repeat_ms(grad2, g2),
         "gather_gram": repeat_ms(gg2, idx2),
         "cg8": repeat_ms(cg2, rhs2),
+        "scatter_dense": repeat_ms(scatter_dense2, rhs2),
+        "scatter_isactive": repeat_ms(scatter_isactive2, rhs2),
     }
     ph = coh["phase_ms_at_2048"]
     # chain per outer iteration at the r6 defaults: 1 grad+activation,
     # 1 active-set rebuild, up to max_inner=6 refinements each paying a
-    # warm CG + the two-dot r5 line search (folded into cg8's scale)
-    chain_lo = ph["grad_full"] + ph["gather_gram"] + ph["cg8"]
-    chain_hi = ph["grad_full"] + ph["gather_gram"] + 6 * ph["cg8"]
+    # warm CG + the two-dot r5 line search (folded into cg8's scale);
+    # plus the dense()+is_active scatters (2x is_active, 1x dense per
+    # outer iteration in _fs_loop.outer_step)
+    scat = ph["scatter_dense"] + 2 * ph["scatter_isactive"]
+    chain_lo = ph["grad_full"] + ph["gather_gram"] + ph["cg8"] + scat
+    chain_hi = (ph["grad_full"] + ph["gather_gram"] + 6 * ph["cg8"]
+                + scat)
     coh["per_outer_chain_ms"] = {"1_refine": round(chain_lo, 3),
                                  "6_refine": round(chain_hi, 3)}
     if segs_c:
