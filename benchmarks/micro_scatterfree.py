@@ -118,6 +118,35 @@ def main():
         return ga + 1e-6 * jnp.take_along_axis(
             jnp.zeros((N, K), jnp.float32) + ga[:, :1], idx, axis=1)
 
+    # single-column per-lane gathers as they appear in the solver loops:
+    # gr_at = gr[n, k[n]] (outer_step activation), tbest = ts[n, best[n]]
+    # (inner_step line search, paid up to max_inner times per outer)
+    kcol = idx[:, 0]
+
+    def grat_gather(ga):
+        gr = jnp.zeros((N, K), jnp.float32) + ga[:, :1]
+        v = jnp.take_along_axis(gr, kcol[:, None], axis=1)[:, 0]
+        return ga + 1e-6 * v[:, None]
+
+    def grat_onehot(ga):
+        gr = jnp.zeros((N, K), jnp.float32) + ga[:, :1]
+        kk = jnp.arange(K, dtype=kcol.dtype)[None, :]
+        v = jnp.sum(jnp.where(kk == kcol[:, None], gr, 0.0), axis=1)
+        return ga + 1e-6 * v[:, None]
+
+    bcol = idx[:, 1] % (A + 1)
+
+    def tbest_gather(ga):
+        ts = jnp.zeros((N, A + 1), jnp.float32) + ga[:, :1]
+        v = jnp.take_along_axis(ts, bcol[:, None], axis=1)[:, 0]
+        return ga + 1e-6 * v[:, None]
+
+    def tbest_onehot(ga):
+        ts = jnp.zeros((N, A + 1), jnp.float32) + ga[:, :1]
+        aa = jnp.arange(A + 1, dtype=bcol.dtype)[None, :]
+        v = jnp.sum(jnp.where(aa == bcol[:, None], ts, 0.0), axis=1)
+        return ga + 1e-6 * v[:, None]
+
     out = {
         "shape": dict(N=N, A=A, K=K, p=p),
         "isact_scatter_ms": repeat_ms(isact_scatter, gact),
@@ -126,6 +155,10 @@ def main():
         "grad_dense_ms": repeat_ms(grad_dense, gact),
         "grad_gathered_ms": repeat_ms(grad_gathered, gact),
         "take_along_axis_ms": repeat_ms(gather_only, gact),
+        "grat_gather_ms": repeat_ms(grat_gather, gact),
+        "grat_onehot_ms": repeat_ms(grat_onehot, gact),
+        "tbest_gather_ms": repeat_ms(tbest_gather, gact),
+        "tbest_onehot_ms": repeat_ms(tbest_onehot, gact),
     }
     # numeric identity of the two grad forms
     ga = gact

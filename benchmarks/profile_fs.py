@@ -197,6 +197,14 @@ def main(quick=False):
 
     # ---- 2. convergence profile: per-segment done counts + time --------
     state = _fs_init(A0, LAM, A)
+    # compile the (Nb,) segment executable OUTSIDE the timed region (one
+    # throwaway segment; state is immutable so the profile below still
+    # starts from init) — remote cold-compile variance is 50-270 s and
+    # an unwarmed seg0 cell conflates it into the wall (r11: 8.2 vs
+    # 14.9 s for the same work)
+    _d0, _ = _feature_sign_impl(
+        Dt, Xt, A0, LAM, state, max_active=A, max_iter=16, max_inner=6)
+    _sync(_d0[0])
     segs = []
     for s in range(7):
         t0 = time.perf_counter()
@@ -331,38 +339,99 @@ def main(quick=False):
         return r + 1e-6 * x
 
     def scatter_dense2(ga):
-        # the dense() scatter-add in outer_step: (Nc, A) slot values into
-        # an (Nc, K) zero canvas — scatters are the one op class
-        # CLAUDE.md flags as a TPU anti-pattern, and the chain below
-        # would silently blame the matmuls if this is the real cost
+        # the PRE-r11 dense() scatter-add the solver used to pay once
+        # per outer iteration: (Nc, A) slot values into an (Nc, K) zero
+        # canvas.  Removed by the gathered-residual gradient (see
+        # grad_gathered2 below); kept as a probe so the removed cost
+        # stays measured.
         z = jnp.zeros((Nc, K), jnp.float32)
         d = z.at[jnp.arange(Nc)[:, None], idx2].add(ga)
         return ga + 1e-6 * jnp.take_along_axis(d, idx2, axis=1)
 
     def scatter_isactive2(ga):
+        # the PRE-r11 is_active scatter (2x per outer) — replaced by
+        # the fused compare-reduce in solvers/lasso.py::_active_mask
         z = jnp.zeros((Nc, K), bool).at[
             jnp.arange(Nc)[:, None], idx2
         ].max(ga > 0)
         return ga + 1e-6 * jnp.take_along_axis(
             z.astype(jnp.float32), idx2, axis=1)
 
+    def isact_reduce2(ga):
+        # the r11 _active_mask form: (Nc, A, K) compare-reduce, fusable
+        kk = jnp.arange(K, dtype=idx2.dtype)[None, None, :]
+        z = jnp.any((idx2[:, :, None] == kk) & (ga > 0)[:, :, None],
+                    axis=1)
+        return ga + 1e-6 * jnp.take_along_axis(
+            z.astype(jnp.float32), idx2, axis=1)
+
+    def grad_gathered2(ga):
+        # the r11 gradient: D g from the GATHERED active atoms (no
+        # (Nc, K) dense code, no scatter) + the correlation GEMM
+        R = jnp.einsum("na,nap->np", ga, Dact2,
+                       precision=jax.lax.Precision.HIGHEST) - Xct
+        gr = 2.0 * jnp.matmul(R, Dct.T,
+                              precision=jax.lax.Precision.HIGHEST)
+        return ga + 1e-6 * jnp.take_along_axis(gr, idx2, axis=1)
+
+    def ls5_2048(st):
+        # the r5 carried-Hg line search at 2048 lanes (one exact Gram
+        # matvec + two dots + the (A+1)-candidate l1 sum) — 0.9 ms at
+        # 4096 lanes in section 1, re-measured here because the chain
+        # must be at a single lane count
+        gact, Hg = st
+        gnew = gact * 0.7
+        Hnew = jnp.einsum("nab,nb->na", M2, gnew,
+                          precision=jax.lax.Precision.HIGHEST)
+        diff, Hd = gnew - gact, Hnew - Hg
+        ts2l = jnp.linspace(0.0, 1.0, A + 1)[None, :].repeat(Nc, 0)
+        b = 2.0 * jnp.einsum("na,na->n", diff, Hg,
+                             precision=jax.lax.Precision.HIGHEST)
+        c = jnp.einsum("na,na->n", diff, Hd,
+                       precision=jax.lax.Precision.HIGHEST)
+        l1 = jnp.sum(
+            jnp.abs(gact[:, None, :] + ts2l[..., None] * diff[:, None, :]),
+            axis=2,
+        )
+        obj = ts2l * b[:, None] + ts2l * ts2l * c[:, None] + LAM * l1
+        best = jnp.argmin(obj, axis=1)
+        tb = (best.astype(jnp.float32) / (A + 1.0))[:, None]
+        return (gact + tb * diff, Hg + tb * Hd)
+
+    Hg02 = jnp.einsum("nab,nb->na", M2, rhs2,
+                      precision=jax.lax.Precision.HIGHEST)
+    f_ls2 = jax.jit(
+        lambda st: jax.lax.scan(
+            lambda cc, _: (ls5_2048(cc), None), st, None, length=REPS,
+        )[0]
+    )
+    _sync(f_ls2((rhs2, Hg02))[0])
+    ls2_ms = 1e3 * _best_of(lambda: _sync(f_ls2((rhs2, Hg02))[0])) / REPS
+
     coh["phase_ms_at_2048"] = {
         "grad_full": repeat_ms(grad2, g2),
+        "grad_gathered": repeat_ms(grad_gathered2, rhs2),
         "gather_gram": repeat_ms(gg2, idx2),
         "cg8": repeat_ms(cg2, rhs2),
-        "scatter_dense": repeat_ms(scatter_dense2, rhs2),
-        "scatter_isactive": repeat_ms(scatter_isactive2, rhs2),
+        "linesearch_r5": ls2_ms,
+        "isact_reduce": repeat_ms(isact_reduce2, rhs2),
+        "scatter_dense_removed": repeat_ms(scatter_dense2, rhs2),
+        "scatter_isactive_removed": repeat_ms(scatter_isactive2, rhs2),
     }
     ph = coh["phase_ms_at_2048"]
-    # chain per outer iteration at the r6 defaults: 1 grad+activation,
-    # 1 active-set rebuild, up to max_inner=6 refinements each paying a
-    # warm CG + the two-dot r5 line search (folded into cg8's scale);
-    # plus the dense()+is_active scatters (2x is_active, 1x dense per
-    # outer iteration in _fs_loop.outer_step)
-    scat = ph["scatter_dense"] + 2 * ph["scatter_isactive"]
-    chain_lo = ph["grad_full"] + ph["gather_gram"] + ph["cg8"] + scat
-    chain_hi = (ph["grad_full"] + ph["gather_gram"] + 6 * ph["cg8"]
+    # chain per outer iteration at the r6 defaults: 1 gathered-residual
+    # grad + activation, 1 active-set rebuild (gather+gram), up to
+    # max_inner=6 refinements each paying a warm CG + the r5 line
+    # search, plus ONE _active_mask compare-reduce (the KKT check's —
+    # its masked gradient is CARRIED as the next activation score, r11)
+    scat = ph["isact_reduce"]
+    ref = ph["cg8"] + ph["linesearch_r5"]
+    chain_lo = ph["grad_gathered"] + ph["gather_gram"] + ref + scat
+    chain_hi = (ph["grad_gathered"] + ph["gather_gram"] + 6 * ref
                 + scat)
+    coh["scat_removed_per_outer_ms"] = round(
+        ph["scatter_dense_removed"] + 2 * ph["scatter_isactive_removed"]
+        + ph["isact_reduce"] - scat, 3)
     coh["per_outer_chain_ms"] = {"1_refine": round(chain_lo, 3),
                                  "6_refine": round(chain_hi, 3)}
     if segs_c:

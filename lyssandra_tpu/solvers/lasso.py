@@ -30,6 +30,25 @@ from jax import lax
 _HI = lax.Precision.HIGHEST
 
 
+def _active_mask(idx, mask, K):
+    """(N, K) active-atom membership mask from per-lane slots.
+
+    On TPU the obvious ``zeros.at[rows, idx].max(mask)`` scatter
+    serializes on per-lane collisions (micro_scatterfree.json: 1.75 ms
+    at (2048, 64, 1024) vs 0.64 ms for the fused compare-reduce below —
+    feature-sign pays it twice per outer iteration).  On CPU the
+    element-wise scatter is near-free while the N*A*K compare-reduce is
+    ~100x more work, so the form is backend-gated.
+    """
+    if jax.default_backend() == "cpu":
+        N = idx.shape[0]
+        return jnp.zeros((N, K), bool).at[
+            jnp.arange(N)[:, None], idx
+        ].max(mask)
+    kk = jnp.arange(K, dtype=idx.dtype)[None, None, :]
+    return jnp.any((idx[:, :, None] == kk) & mask[:, :, None], axis=1)
+
+
 class FeatureSignResult(NamedTuple):
     Gamma: jax.Array      # (K, N) dense codes
     n_iter: jax.Array     # () outer iterations executed
@@ -50,19 +69,17 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner,
       inner refinement loop — they are hoisted OUT of the while_loop body
       (the round-1 version recomputed the gather in both the body and the
       cond, twice per refinement step).
-    - The full gradient uses the residual form 2 D^T (D g - x): 4NpK flops
-      vs the Gram form's 2NK^2 — 2.7x cheaper at the overcomplete config-4
-      shape (p=192, K=1024), same trick as batch_omp's refresh='auto'.
+    - The full gradient uses the residual form 2 D^T (D g - x) with D g
+      built from the GATHERED active atoms (einsum over Dact) — no (N, K)
+      dense code, no scatter; 2NpK flops for the correlation GEMM vs the
+      Gram form's 2NK^2, same trick as batch_omp's refresh='auto'.
+    - (N, K) active-membership masks use :func:`_active_mask` (fused
+      compare-reduce on TPU, scatter on CPU) — see micro_scatterfree.json.
 
     Dt = D^T (K, p); Xt = X^T (N, p); A0 = X^T D (N, K).
     """
     N, K = A0.shape
     A = max_active
-
-    def grad_full(gfull):
-        # d/dg ||x - Dg||^2 = 2 D^T (D g - x), residual form
-        R = jnp.matmul(gfull, Dt, precision=_HI) - Xt        # (N, p)
-        return 2.0 * jnp.matmul(R, Dt.T, precision=_HI)
 
     def dense(idx, mask, gact):
         z = jnp.zeros((N, K), A0.dtype)
@@ -72,21 +89,25 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner,
 
     def outer_step(st):
         idx, mask, theta, gact, gr, done, overflow, it = st
-        # gr = grad at the CURRENT solution, CARRIED from the previous
-        # iteration's final KKT check (it is the same quantity): computing
-        # it fresh here doubled the two big (N, p <-> K) matmuls per outer
-        # iteration — the dominant cost at scale (r3, ~1.5x end to end)
+        # gr = grad at the CURRENT solution ZEROED AT ACTIVE SLOTS,
+        # CARRIED from the previous iteration's final KKT check (it is
+        # the same quantity): computing it fresh here doubled the two
+        # big (N, p <-> K) matmuls per outer iteration (r3, ~1.5x end to
+        # end), and recomputing the (N, K) membership mask here doubled
+        # the _active_mask compare-reduce (r11: 1.9 ms of a 17 ms outer
+        # iteration at 2048 lanes).  The masked-gr invariant is upheld
+        # by every state producer (_fs_init: empty active set;
+        # _fs_warm_state / _fs_unrolled_state[_fused]: explicit mask).
 
-        is_active = jnp.zeros((N, K), bool).at[
-            jnp.arange(N)[:, None], idx
-        ].max(mask)
         # activation threshold carries a relative slack matched to the
         # done check below: in fp32 an atom with |gr| ~ lam flickers
         # across an exact threshold between iterations (activate ->
         # line-search zeroes it -> deactivate -> ...), limit-cycling 87%
         # of lanes to max_iter (measured on chip).  Ignoring a violation
         # of lam*(1+1e-4) costs O((|gr|-lam)^2) ~ 1e-8 lam^2 in objective.
-        cand_score = jnp.where(is_active, -jnp.inf, jnp.abs(gr))
+        # Active slots carry exactly 0 in gr, which never clears the
+        # strictly-positive threshold — no re-activation possible.
+        cand_score = jnp.abs(gr)
         # activate the top-n_activate violators per outer iteration
         # (n_activate=1 is the oracle's literal one-at-a-time path; the
         # lasso minimizer is path-independent, so activating several at
@@ -256,15 +277,20 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner,
         # converged for every practical purpose, while a genuine mid-cycle
         # exit violates by O(lam).
         del not_opt3
-        gfull3 = dense(idx2, mask3, gact3)
-        gr3 = grad_full(gfull3)
-        is_act3 = jnp.zeros((N, K), bool).at[
-            jnp.arange(N)[:, None], idx2
-        ].max(mask3)
-        inact_viol3 = (
-            jnp.where(is_act3, 0.0, jnp.abs(gr3))
-            > lam * (1.0 + 1e-4) + 1e-7
-        )
+        # gradient from the GATHERED active atoms: D g = Dact^T gact needs
+        # no (N, K) dense code and no scatter (gact3 is zero outside
+        # mask3; inert Dact rows are multiplied by those zeros).  The
+        # dense-scatter form costs 1.84 ms vs 1.16 ms at (2048, 64, 1024)
+        # (micro_scatterfree.json) and wins on CPU too (16x fewer flops).
+        R3 = jnp.einsum("na,nap->np", jnp.where(mask3, gact3, 0.0),
+                        Dact, precision=_HI) - Xt
+        gr3 = 2.0 * jnp.matmul(R3, Dt.T, precision=_HI)
+        # ONE membership compare-reduce per outer iteration: the masked
+        # gradient is both the inactive-KKT quantity here and the next
+        # iteration's activation score (carried below)
+        is_act3 = _active_mask(idx2, mask3, K)
+        grm3 = jnp.where(is_act3, 0.0, gr3)
+        inact_viol3 = jnp.abs(grm3) > lam * (1.0 + 1e-4) + 1e-7
         opt = ~jnp.any(inact_viol3, axis=1) & ~kkt_from_H(
             mask3, theta3, Hg3, tol=1e-4
         )
@@ -279,7 +305,7 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner,
         fz1 = lambda new, old: jnp.where(done[:, None], old, new)
         return (
             fz1(idx2, idx), fz1(mask3, mask), fz1(theta3, theta),
-            fz1(gact3, gact), fz1(gr3, gr), done2, ovf, it + 1,
+            fz1(gact3, gact), fz1(grm3, gr), done2, ovf, it + 1,
         )
 
     it0 = state[-1]
@@ -439,6 +465,9 @@ def _fs_warm_state(G0t, Dt, Xt, A0, lam, *, max_active, gate=True):
     ].add(jnp.where(mask, gact, 0.0))
     R = jnp.matmul(gfull, Dt, precision=_HI) - Xt
     gr = 2.0 * jnp.matmul(R, Dt.T, precision=_HI)
+    # uphold the carried-masked-gr invariant (_fs_loop: gr is zero at
+    # active slots — it doubles as the next activation score)
+    gr = jnp.where(_active_mask(idx, mask, K), 0.0, gr)
     # lanes where g = 0 is optimal may be declared done immediately ONLY
     # if their warm state is actually zero (a done lane keeps its state)
     done0 = jnp.all(2.0 * jnp.abs(A0) <= lam + 1e-12, axis=1) & ~jnp.any(
@@ -529,11 +558,10 @@ def _fs_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, n_refine,
 
     for t in range(t_unroll):
         # --- activation: the single largest inactive KKT violator ---
-        if t == 0:
-            is_act = jnp.zeros((N, K), bool)
-        else:
-            is_act = jnp.zeros((N, K), bool).at[rows, idx].max(mask)
-        cand = jnp.where(is_act, -jnp.inf, jnp.abs(gr))
+        # gr carries the masked-gradient invariant (zero at active
+        # slots, see _fs_loop), so no membership mask is rebuilt here:
+        # active slots score 0 and never clear the positive threshold
+        cand = jnp.abs(gr)
         mx = jnp.max(cand, axis=1)
         k = jnp.argmax(cand, axis=1).astype(jnp.int32)
         activate = (mx > lam * (1.0 + 1e-4) + 1e-7) & ~done
@@ -622,11 +650,10 @@ def _fs_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, n_refine,
             "nc,ncp->np", gact2 * maskf, Dstack, precision=_HI
         ) - Xt
         gr_new = 2.0 * jnp.matmul(R, Dt.T, precision=_HI)   # (N, K)
-        is_act2 = jnp.zeros((N, K), bool).at[rows, idx].max(mask2)
+        is_act2 = _active_mask(idx, mask2, K)
+        grm = jnp.where(is_act2, 0.0, gr_new)
         inact_viol = jnp.any(
-            jnp.where(is_act2, 0.0, jnp.abs(gr_new))
-            > lam * (1.0 + 1e-4) + 1e-7,
-            axis=1,
+            jnp.abs(grm) > lam * (1.0 + 1e-4) + 1e-7, axis=1,
         )
         act_viol = jnp.any(
             jnp.abs(2.0 * (Hg - a0sel * maskf) * maskf + lam * theta2)
@@ -640,7 +667,7 @@ def _fs_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, n_refine,
         mask = fz(mask2, mask0)
         theta = fz(theta2, theta0)
         gact = fz(gact2, gact0)
-        gr = fz(gr_new, gr)
+        gr = fz(grm, gr)
         done = done | opt
 
     # --- pad the compact state to max_active slots and hand off ---
@@ -674,6 +701,10 @@ def _fs_unrolled_state_fused(Dt, Xt, A0, lam, *, t_unroll, n_refine,
         Dt.T, Xt.T, lam=float(lam), t_unroll=int(t_unroll),
         n_refine=int(n_refine), block=int(block), interpret=interpret,
     )
+    # the kernel emits the UNMASKED gradient; uphold _fs_loop's carried
+    # masked-gr invariant here (one compare-reduce per cold start, at
+    # compact width Tun — not worth a Mosaic kernel change)
+    gr = jnp.where(_active_mask(idx, mask, gr.shape[1]), 0.0, gr)
     pad = ((0, 0), (0, max_active - int(t_unroll)))
     return (
         jnp.pad(idx, pad),
@@ -1168,9 +1199,7 @@ def _lars_make_step(Dt, Xt, A0, lam, max_active, t_stop):
         # Both projections and both full-width correlation GEMMs are
         # STACKED into one op each (r5): the separate matmuls were
         # latency-bound at these shapes, so two dispatches cost ~2x one.
-        is_act = jnp.zeros((N, K), bool).at[
-            jnp.arange(N)[:, None], idx
-        ].max(mask)
+        is_act = _active_mask(idx, mask, K)
         cw = jnp.stack([cA, wA], axis=1)                     # (N, 2, A)
         zz = jnp.einsum("nra,nap->nrp", cw, Dact, precision=_HI)
         rz = jnp.stack([Xt - zz[:, 0, :], zz[:, 1, :]], axis=1)
@@ -1455,7 +1484,7 @@ def _lars_unrolled_state(Dt, Xt, A0, lam, *, t_unroll, max_active,
         uv = 2.0 * jnp.einsum("nrp,pk->nrk", rz, Dt.T, precision=_HI)
         u, v = uv[:, 0, :], uv[:, 1, :]
 
-        is_act = jnp.zeros((N, K), bool).at[rows, idx].max(mask)
+        is_act = _active_mask(idx, mask, K)
 
         # join events (verbatim _lars_make_step semantics)
         ltp = u / jnp.maximum(1.0 - v, 1e-12)
