@@ -179,7 +179,10 @@ def main(quick=False):
         )
         obj = ts * b[:, None] + ts * ts * c[:, None] + LAM * l1
         best = jnp.argmin(obj, axis=1)
-        tb = (best.astype(jnp.float32) / (A + 1.0))[:, None]
+        # index i of linspace(0, 1, A+1) is step i/A (NOT i/(A+1)): read
+        # the argmin point off the grid so the iterated state is exactly
+        # the grid minimizer (timing unaffected either way)
+        tb = jnp.take_along_axis(ts, best[:, None], axis=1)
         return (gact + tb * diff, Hg + tb * Hd)
 
     Hg0 = jnp.einsum("nab,nb->na", M, rhs,
@@ -395,7 +398,8 @@ def main(quick=False):
         )
         obj = ts2l * b[:, None] + ts2l * ts2l * c[:, None] + LAM * l1
         best = jnp.argmin(obj, axis=1)
-        tb = (best.astype(jnp.float32) / (A + 1.0))[:, None]
+        # same grid-index fix as ls5 above: index i -> step i/A
+        tb = jnp.take_along_axis(ts2l, best[:, None], axis=1)
         return (gact + tb * diff, Hg + tb * Hd)
 
     Hg02 = jnp.einsum("nab,nb->na", M2, rhs2,

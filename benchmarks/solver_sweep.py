@@ -21,6 +21,8 @@ RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 
 
 def main():
+    load_start = os.getloadavg()
+
     import jax.numpy as jnp
 
     from lyssandra_tpu import solvers
@@ -71,24 +73,37 @@ def main():
             jnp.abs(solvers.threshold_code(Dj, Xb, 0.02)), axis=0),
     }
 
-    def measure(fn):
-        for Xb in blocks:
-            float(np.asarray(jnp.sum(fn(Xb))))
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            chks = [jnp.sum(fn(Xb)) for Xb in blocks]
-            float(np.asarray(jnp.sum(jnp.stack(chks))))
-            best = min(best, time.perf_counter() - t0)
-        return round(BLOCKS * N / best, 1)
+    def measure(fn, n_protocol=3, repeat_if_faster_than_s=2.0):
+        """bench.py discipline (r5, VERDICT r4 #1/#7): each protocol run
+        warms every block then takes best-of-3 back-to-back dispatch +
+        one scalar sync; rows whose timed pass is cheap (< ~2 s) run the
+        whole protocol n_protocol times and report the MEDIAN with the
+        raw runs recorded — single protocol runs of the group-OMP row
+        historically swung 176k-842k p/s across sessions (probe_group.json)
+        while the solver itself was unchanged."""
+        def one():
+            for Xb in blocks:
+                float(np.asarray(jnp.sum(fn(Xb))))
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                chks = [jnp.sum(fn(Xb)) for Xb in blocks]
+                float(np.asarray(jnp.sum(jnp.stack(chks))))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        runs = [one()]
+        if runs[0] < repeat_if_faster_than_s:
+            runs += [one() for _ in range(n_protocol - 1)]
+        rates = sorted(round(BLOCKS * N / b, 1) for b in runs)
+        return rates[len(rates) // 2], rates
 
-    out = {}
+    out, out_runs = {}, {}
     for name, fn in solvers_to_run.items():
         try:
-            out[name] = measure(fn)
+            out[name], out_runs[name] = measure(fn)
         except Exception as e:  # noqa: BLE001
             out[name] = f"FAILED: {str(e)[:120]}"
-        print(name, out[name], flush=True)
+        print(name, out[name], out_runs.get(name), flush=True)
 
     # --- convex-row self-explanation (VERDICT r3 task #3) ---
     # The convex rows sit ~3 orders below greedy here while the config-4
@@ -138,12 +153,13 @@ def main():
     enc_m = SparseEncoder("lasso", {"lam": lam_m}, check_atoms=False)
     name_m = f"feature_sign(lam={lam_m},matched_nnz={probe[lam_m]:.1f})"
     try:
-        out[name_m] = measure(
+        out[name_m], out_runs[name_m] = measure(
             lambda Xb: jnp.sum(jnp.abs(enc_m.encode(Xb, Dj)), axis=0))
     except Exception as e:  # noqa: BLE001
         out[name_m] = f"FAILED: {str(e)[:120]}"
     print(name_m, out[name_m], flush=True)
 
+    load_end = os.getloadavg()
     from benchmarks import stamp
     os.makedirs(RESULTS_DIR, exist_ok=True)
     with open(os.path.join(RESULTS_DIR, "solver_throughput.json"),
@@ -151,6 +167,10 @@ def main():
         json.dump(stamp({
             "shape": f"p={P} K={K} N={N}x{BLOCKS}",
             "patches_per_sec": out,
+            "protocol_runs": out_runs,
+            "host_loadavg_5m_at_start": round(load_start[1], 2),
+            "host_loadavg_5m_at_end": round(load_end[1], 2),
+            "host_quiet": load_start[1] < 1.5 and load_end[1] < 1.5,
             "convex_stats": stats,
             "fs_nnz_by_lam": probe,
             "protocol_notes": {
@@ -158,8 +178,18 @@ def main():
                               "err checksum since r4; the r3 row paid a "
                               "dense (K,N) eager scatter + abs-sum and "
                               "under-read the solver 1.5x"),
+                "group_omp_variance": (
+                    "single protocol runs of this row swing ~1.8x within "
+                    "one quiet process and hit 176k (3.7x low) in the r4 "
+                    "end-of-round capture with no code change — "
+                    "probe_group.json isolates it: quiet-chip median 536k, "
+                    "runs 479-842k, solver identical.  Hence the r5 "
+                    "median-of-3-protocols + host-load fields here."),
                 "convex": ("encoder route, 2048-lane blocks "
-                           "(ab_fs_block.json optimum)"),
+                           "(ab_fs_block.json optimum); slow rows "
+                           "(>~2 s/pass) keep a single protocol run — "
+                           "their 42 s timed passes average out the "
+                           "session noise the fast rows need medians for"),
             },
         }), f, indent=2)
 

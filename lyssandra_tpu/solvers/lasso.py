@@ -39,6 +39,13 @@ def _active_mask(idx, mask, K):
     feature-sign pays it twice per outer iteration).  On CPU the
     element-wise scatter is near-free while the N*A*K compare-reduce is
     ~100x more work, so the form is backend-gated.
+
+    The gate reads ``jax.default_backend()`` at TRACE time — the process
+    default, not the device a jitted program actually runs on.  Under an
+    explicit non-default placement (e.g. jit(..., device=cpu) in a TPU
+    process) the slower-but-identical form is chosen; perf-only, and
+    consistent with the repo's other backend gates (cold_backend,
+    cold_unroll defaults).
     """
     if jax.default_backend() == "cpu":
         N = idx.shape[0]

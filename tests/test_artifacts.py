@@ -86,3 +86,22 @@ def test_lcksvd_paired_gap_within_recorded_bound():
         assert "measured_deficit_note" in band, (
             "one-sided gap beyond noise but no committed explanation")
         assert abs(mean_d) < 0.02, mean_d
+
+
+def test_sweep_group_row_consistent_with_fused_artifact():
+    # VERDICT r4 #1: the r4 end-of-round sweep committed a group-OMP row
+    # of 176k p/s against group_omp_fused.json's 527k — a 3.7x
+    # contradiction that probe_group.json root-caused as single-run
+    # session variance (quiet-chip isolated reruns: median 536k, spread
+    # 479-842k, solver unchanged).  The r5 sweep takes the median of 3
+    # protocol runs; this pins that the committed median agrees with the
+    # fused artifact inside the measured session band.
+    sweep = _load("solver_throughput.json")
+    if "protocol_runs" not in sweep:
+        pytest.skip("pre-r5 single-protocol-run sweep artifact")
+    fused = _load("group_omp_fused.json")
+    row = sweep["patches_per_sec"]["group_omp(T=4,gs=4)"]
+    ref = fused["packed_b256"]["pps"]
+    assert 0.6 * ref <= row <= 1.7 * ref, (row, ref)
+    # the raw runs must be recorded so an outlier is visible, not silent
+    assert len(sweep["protocol_runs"]["group_omp(T=4,gs=4)"]) >= 3

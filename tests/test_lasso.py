@@ -454,3 +454,69 @@ def test_feature_sign_multi_activation_same_optimum(rng):
         o = _objective(D, X, np.asarray(out.Gamma, np.float64), lam)
         np.testing.assert_allclose(o, o_base, rtol=1e-4, atol=1e-5,
                                    err_msg=f"act{n_act}_cg{cg}")
+
+
+def test_carried_masked_gr_invariant_all_producers():
+    """_fs_loop's outer_step CARRIES the gradient zeroed at active slots
+    (it doubles as the next activation score) and never rebuilds the
+    membership mask — so every state producer must hand off gr EXACTLY
+    ZERO at its (idx, mask) slots.  The invariant is upheld at four
+    producer sites by convention (ADVICE r4); this pins it directly so a
+    future producer/kernel change fails here instead of as silent lane
+    limit-cycling (an unmasked active slot can re-win the activation
+    argmax forever)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lyssandra_tpu.solvers.lasso import (
+        _active_mask, _fs_fista_iterate, _fs_init, _fs_omp_seed_iterate,
+        _fs_unrolled_state, _fs_unrolled_state_fused, _fs_warm_state,
+    )
+
+    _HI = jax.lax.Precision.HIGHEST
+    rng = np.random.default_rng(3)
+    # coherent pair + 3-atom signals: warm/unrolled states activate real
+    # supports, so the masked-slot assertion is exercised, not vacuous
+    p, K, N, A = 24, 96, 64, 16
+    D = rng.standard_normal((p, K))
+    D[:, 50] = D[:, 10] + 0.01 * rng.standard_normal(p)
+    D /= np.linalg.norm(D, axis=0)
+    idx0 = rng.integers(0, K, (N, 3))
+    X = np.zeros((p, N))
+    for j in range(3):
+        X += D[:, idx0[:, j]] * rng.standard_normal(N)
+    X += 0.05 * rng.standard_normal((p, N))
+    X /= np.linalg.norm(X, axis=0)
+    lam = 0.15
+    Dj = jnp.asarray(D, jnp.float32)
+    Dt = Dj.T
+    Xt = jnp.asarray(X.T, jnp.float32)
+    A0 = jnp.matmul(Xt, Dj, precision=_HI)
+
+    states = {
+        "init": _fs_init(A0, lam, A),
+        "warm_fista": _fs_warm_state(
+            _fs_fista_iterate(Dj, Xt, A0, lam, n_warm=20),
+            Dt, Xt, A0, lam, max_active=A),
+        "warm_fista_ungated": _fs_warm_state(
+            _fs_fista_iterate(Dj, Xt, A0, lam, n_warm=20),
+            Dt, Xt, A0, lam, max_active=A, gate=False),
+        "warm_omp": _fs_warm_state(
+            _fs_omp_seed_iterate(Dj, Xt, 4),
+            Dt, Xt, A0, lam, max_active=A),
+        "unrolled_xla": _fs_unrolled_state(
+            Dt, Xt, A0, lam, t_unroll=6, n_refine=2, max_active=A),
+        "unrolled_fused": _fs_unrolled_state_fused(
+            Dt, Xt, A0, lam, t_unroll=6, n_refine=2, max_active=A,
+            block=32),
+    }
+    for name, st in states.items():
+        idx, mask, _theta, _gact, gr, _done, _ovf, _it = st
+        act = np.asarray(_active_mask(idx, mask, K))
+        grn = np.asarray(gr)
+        assert (grn[act] == 0.0).all(), name
+        if name != "init":
+            # non-cold producers must have real active slots (else the
+            # assertion above is vacuous) and real scores elsewhere
+            assert act.any(), name
+            assert np.abs(grn[~act]).max() > 0.0, name
