@@ -31,7 +31,7 @@ RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 
 _PHASE_SRC = r"""
 import sys, time, json
-cache_dir, depth = sys.argv[1], int(sys.argv[2])
+cache_dir, depths = sys.argv[1], [int(v) for v in sys.argv[2].split(",")]
 import jax
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -47,25 +47,29 @@ X = rng.standard_normal((p, N)); X /= np.linalg.norm(X, axis=0)
 Dj, Xj = jnp.asarray(D, jnp.float32), jnp.asarray(X, jnp.float32)
 # warm the tunnel/first-fetch on an unrelated tiny op so the timing
 # below is compile+run, not the one-time host-fetch stall
-float(np.asarray(jnp.sum(Dj @ Xj)))
-t0 = time.perf_counter()
-out = fs_cold_fused(Dj, Xj, lam=0.15, t_unroll=depth, n_refine=2,
-                    block=256)
-float(np.asarray(jnp.sum(out[4])))
-first_s = time.perf_counter() - t0
-t0 = time.perf_counter()
-out = fs_cold_fused(Dj, Xj, lam=0.16, t_unroll=depth, n_refine=2,
-                    block=256)          # lam is traced: same executable
-float(np.asarray(jnp.sum(out[4])))
-warm_s = time.perf_counter() - t0
-print(json.dumps({"first_call_s": round(first_s, 2),
-                  "warm_call_s": round(warm_s, 3)}))
+float(np.asarray(jnp.sum(Dj.T @ Xj)))
+out = {}
+for depth in depths:
+    t0 = time.perf_counter()
+    o = fs_cold_fused(Dj, Xj, lam=0.15, t_unroll=depth, n_refine=2,
+                      block=256)
+    float(np.asarray(jnp.sum(o[4])))
+    first_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    o = fs_cold_fused(Dj, Xj, lam=0.16, t_unroll=depth, n_refine=2,
+                      block=256)        # lam is traced: same executable
+    float(np.asarray(jnp.sum(o[4])))
+    warm_s = time.perf_counter() - t0
+    out[depth] = {"first_call_s": round(first_s, 2),
+                  "warm_call_s": round(warm_s, 3)}
+print(json.dumps(out))
 """
 
 
-def run_phase(cache_dir: str, depth: int) -> dict:
+def run_phase(cache_dir: str, depths: list[int]) -> dict:
     r = subprocess.run(
-        [sys.executable, "-c", _PHASE_SRC, cache_dir, str(depth)],
+        [sys.executable, "-c", _PHASE_SRC, cache_dir,
+         ",".join(str(d) for d in depths)],
         capture_output=True, text=True, timeout=3600,
     )
     if r.returncode != 0:
@@ -74,9 +78,10 @@ def run_phase(cache_dir: str, depth: int) -> dict:
 
 
 def main():
-    depth = 8
+    depths = [8, 16]
     if "--depth" in sys.argv:
-        depth = int(sys.argv[sys.argv.index("--depth") + 1])
+        depths = [int(v) for v in
+                  sys.argv[sys.argv.index("--depth") + 1].split(",")]
     keep = "--keep" in sys.argv
     if keep:
         cache_dir = os.path.join(
@@ -87,29 +92,38 @@ def main():
         cache_dir = tempfile.mkdtemp(prefix="jaxcache_probe_")
 
     t0 = time.perf_counter()
-    a = run_phase(cache_dir, depth)
+    a = run_phase(cache_dir, depths)
     a_wall = round(time.perf_counter() - t0, 1)
     entries = []
     for root, _dirs, files in os.walk(cache_dir):
         entries += [os.path.join(root, f) for f in files]
     t0 = time.perf_counter()
-    b = run_phase(cache_dir, depth)
+    b = run_phase(cache_dir, depths)
     b_wall = round(time.perf_counter() - t0, 1)
 
-    # the cache "holds" if phase B's first call is dominated by runtime,
-    # not compile: well under half of A's compile-laden first call and
-    # within ~10x of the warm call (10x leaves room for executable
-    # deserialization + first-dispatch overhead)
-    holds = (b["first_call_s"] < 0.5 * a["first_call_s"]
-             and b["first_call_s"] < 10 * max(b["warm_call_s"], 0.05))
+    # per depth: the cached path skips the Mosaic/XLA compile; the
+    # RESIDUAL a fresh process still pays is jit trace + pallas
+    # lowering + executable deserialization, which grows with program
+    # size.  "holds" = the residual is well under the compile it skips.
+    rows = {}
+    for d in depths:
+        ad, bd = a[str(d)], b[str(d)]
+        rows[d] = {
+            "phase_a": ad, "phase_b": bd,
+            "compile_skipped_s": round(
+                ad["first_call_s"] - bd["first_call_s"], 2),
+            "holds": bd["first_call_s"] < 0.5 * ad["first_call_s"],
+        }
     out = {
         "probe": "jax persistent compilation cache vs Mosaic kernels",
-        "kernel": f"fs_cold_fused depth={depth} (p=192 K=1024 N=2048)",
-        "phase_a": a, "phase_a_wall_s": a_wall,
-        "phase_b": b, "phase_b_wall_s": b_wall,
+        "kernel": "fs_cold_fused (p=192 K=1024 N=2048), per depth",
+        "depths": rows,
+        "phase_a_wall_s": a_wall,
+        "phase_b_wall_s": b_wall,
         "cache_entries_after_a": len(entries),
         "cache_bytes_after_a": sum(os.path.getsize(f) for f in entries),
-        "cache_holds_across_processes": holds,
+        "cache_holds_across_processes": all(
+            r["holds"] for r in rows.values()),
         "cache_dir": cache_dir if keep else "(temp, deleted)",
     }
     print(json.dumps(out, indent=1))

@@ -74,7 +74,7 @@ def main():
     Dj = jnp.asarray(D)
     blocks = [jnp.asarray(X[:, i * DISPATCH:(i + 1) * DISPATCH])
               for i in range(N // DISPATCH)]
-    float(np.asarray(jnp.sum(Dj @ blocks[0])))   # first-fetch warm-up
+    float(np.asarray(jnp.sum(Dj.T @ blocks[0])))  # first-fetch warm-up
 
     rows = {}
     for T in depths:

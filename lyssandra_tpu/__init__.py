@@ -66,6 +66,7 @@ from lyssandra_tpu.dict_learning import (
 from lyssandra_tpu.dict_learning.ksvd import ksvd
 from lyssandra_tpu.classify import LCKSVD, LinearClassifier, LinearSVM, SRCClassifier
 from lyssandra_tpu.apps import Denoiser, FeatureExtractor, denoise
+from lyssandra_tpu.utils.compile_cache import enable_compile_cache
 from lyssandra_tpu.utils import Workspace
 
 __version__ = "0.1.0"

@@ -56,6 +56,39 @@ def _active_mask(idx, mask, K):
     return jnp.any((idx[:, :, None] == kk) & mask[:, :, None], axis=1)
 
 
+_pallas_cold_warned = False
+
+
+def _warn_pallas_cold_compile(depth: int) -> None:
+    """One-line heads-up before the TPU default's Mosaic compile stall
+    (VERDICT r4 #2): the fused cold-start kernel costs MINUTES of
+    one-time compile per shape at depth >= ~16 (~460 s at 24, ~1,900 s
+    at 28 — ab_fs_fused.json), and without a persistent compilation
+    cache every process pays it again.  Fires once per process, only
+    when no cache is configured and the depth is in the expensive
+    range; silent otherwise."""
+    global _pallas_cold_warned
+    if _pallas_cold_warned or depth < 16:
+        return
+    from lyssandra_tpu.utils.compile_cache import cache_enabled
+
+    if cache_enabled():
+        return
+    import warnings
+
+    warnings.warn(
+        f"feature_sign cold_backend='pallas' (the TPU default) compiles "
+        f"a depth-{depth} Mosaic kernel on FIRST use at a new shape — "
+        f"minutes of one-time compile (~1,900 s at the depth-28 "
+        f"default; ab_fs_fused.json).  Call "
+        f"lyssandra_tpu.enable_compile_cache() before first use to skip "
+        f"recompiles across processes (probe_compile_cache.json), or "
+        f"pass cold_backend='xla' for fresh-shape sweeps.",
+        stacklevel=3,
+    )
+    _pallas_cold_warned = True
+
+
 class FeatureSignResult(NamedTuple):
     Gamma: jax.Array      # (K, N) dense codes
     n_iter: jax.Array     # () outer iterations executed
@@ -888,6 +921,8 @@ def feature_sign(
         # with the small-active-set prefix costed at its true dimension.
         # cold_backend="pallas" computes the same state with the fused
         # VMEM-resident kernel (ops/pallas_fs.py).
+        if cold_backend == "pallas":
+            _warn_pallas_cold_compile(min(int(cold_unroll), A_run))
         builder = (_fs_unrolled_state_fused if cold_backend == "pallas"
                    else _fs_unrolled_state)
         state = builder(

@@ -8,3 +8,7 @@ from lyssandra_tpu.utils.datasets import (
     patch_dataset,
 )
 from lyssandra_tpu.utils.profiling import profile_trace, timed
+from lyssandra_tpu.utils.compile_cache import (
+    cache_enabled,
+    enable_compile_cache,
+)

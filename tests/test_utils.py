@@ -149,3 +149,48 @@ def test_load_image_folders(tmp_path):
         load_image_folders(str(tmp_path))
     mixed, _, _ = load_image_folders(str(tmp_path), allow_mixed=True)
     assert len(mixed) == 7
+
+
+def test_compile_cache_helper_and_cold_compile_warning(tmp_path):
+    """VERDICT r4 #2: a fresh-shape user must never be silently stalled
+    for ~31 min — either a persistent compilation cache is configured
+    (enable_compile_cache) or the pallas cold start warns once, with
+    both escape hatches named, before its first expensive compile."""
+    import os
+    import warnings
+
+    import jax
+
+    import importlib
+
+    lasso = importlib.import_module("lyssandra_tpu.solvers.lasso")
+    from lyssandra_tpu.utils.compile_cache import (
+        cache_enabled, enable_compile_cache,
+    )
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        assert not cache_enabled()
+        lasso._pallas_cold_warned = False
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            lasso._warn_pallas_cold_compile(8)    # cheap depth: silent
+            assert len(w) == 0
+            lasso._warn_pallas_cold_compile(28)
+            assert len(w) == 1
+            msg = str(w[0].message)
+            assert "enable_compile_cache" in msg
+            assert "cold_backend='xla'" in msg
+            lasso._warn_pallas_cold_compile(28)   # once per process
+            assert len(w) == 1
+        path = enable_compile_cache(str(tmp_path / "cache"))
+        assert cache_enabled() and os.path.isdir(path)
+        lasso._pallas_cold_warned = False
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            lasso._warn_pallas_cold_compile(28)   # cache on: no warning
+            assert len(w) == 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        lasso._pallas_cold_warned = False
