@@ -46,9 +46,14 @@ def main(quick=False, depths=None, merge=False, skip_xla=False):
 
     N = 8192 if quick else 16384
     pal_depths = depths or (8, 12, 16, 20, 24, 28)
+    # cold_backend MUST be explicit on the xla rows: since the r4
+    # default flip, cold_backend=None resolves to "pallas" on TPU — an
+    # implicit variant spec would compare pallas against itself (caught
+    # live in the r5 clean-tree regen: the "xla_un28" cell produced the
+    # pallas obj bitwise and pre-warmed the pal_un28 kernel)
     variants = ([] if skip_xla else [
-        ("xla_un28", dict(cold_unroll=28)),
-        ("xla_un12", dict(cold_unroll=12)),
+        ("xla_un28", dict(cold_unroll=28, cold_backend="xla")),
+        ("xla_un12", dict(cold_unroll=12, cold_backend="xla")),
     ]) + [
         (f"pal_un{d}", dict(cold_unroll=d, cold_backend="pallas"))
         for d in pal_depths

@@ -34,13 +34,20 @@ def main(quick=False):
     from lyssandra_tpu.solvers.lasso import _HI  # noqa: F401
 
     N = 8192 if quick else 16384
+    # cold_backend explicit: this harness measures the XLA unroll depth
+    # curve; since the r4 default flip, leaving it implicit would run
+    # the fused Pallas builder on TPU (the ab_fs_fused.py r5 lesson)
     variants = [
-        ("un8_rf2", dict(cold_unroll=8, n_refine=2)),
-        ("un10_rf2", dict(cold_unroll=10, n_refine=2)),
-        ("un12_rf2", dict(cold_unroll=12, n_refine=2)),
+        ("un8_rf2", dict(cold_unroll=8, n_refine=2, cold_backend="xla")),
+        ("un10_rf2", dict(cold_unroll=10, n_refine=2,
+                          cold_backend="xla")),
+        ("un12_rf2", dict(cold_unroll=12, n_refine=2,
+                          cold_backend="xla")),
         ("un8_rf2_cs", dict(cold_unroll=8, n_refine=2,
+                            cold_backend="xla",
                             compact_stragglers=True)),
         ("un10_rf2_cs", dict(cold_unroll=10, n_refine=2,
+                             cold_backend="xla",
                              compact_stragglers=True)),
     ]
     res = {"shape": {"N": N, "lam": LAM, "block": BLOCK}}

@@ -252,6 +252,18 @@ def config4(quick=False, run_oracle=False):
             h["holdout_objective"] for h in learner.history_
         ],
         "avg_nnz_last": learner.history_[-1]["avg_nnz"],
+        "chunk_seconds": [
+            round(h["seconds"], 2) for h in learner.history_
+        ],
+        "timing_note": (
+            "end-to-end = chunked epoch scans (whose in-scan coder is "
+            "the traceable while_loop feature_sign_scan — the faster "
+            "dispatch-level coder's fused Pallas cold start and "
+            "segmented host continuation cannot run inside lax.scan, "
+            "and each of its tricks measured an in-scan LOSS: "
+            "ab_online_unroll.json, config.py fs_warm_start note) plus "
+            "per-chunk holdout FISTA objectives; component "
+            "decomposition in profile_config4.json"),
     }
     if run_oracle:
         # oracle rate: per-signal fp64 feature-sign (the coding hot loop;
