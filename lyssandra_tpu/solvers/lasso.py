@@ -821,18 +821,21 @@ def feature_sign(
     the while_loop's.
 
     ``cold_backend``: which builder computes the unrolled cold state.
-    Default None = backend-dependent: "pallas" on TPU (the fused
-    VMEM-resident kernel, ops/pallas_fs.py), "xla" elsewhere.  The r4
-    same-session grid (ab_fs_fused.json) at depth 28: pallas 28.1k p/s
-    vs xla 21.1k at the config-4 operating point (+33%; every lane
-    finishes inside the kernel there) and parity on the coherent
-    regime (3.54k vs 3.58k).  THE TRADE IS COMPILE TIME: the depth-28
-    Mosaic program costs ~1,900 s (~31 min) of one-time remote compile
-    per shape vs ~370 s for the XLA unroll — pass
-    ``cold_backend="xla"`` when shapes don't repeat enough to amortize
-    it (sweeps over many fresh (N, K, p) shapes, exploratory runs).
-    lam is a traced SMEM scalar in both builders: lambda sweeps reuse
-    one executable either way.
+    Default None = "xla" (r5).  History: the fused VMEM-resident Mosaic
+    kernel (ops/pallas_fs.py) measured +33% in r4 and briefly became
+    the TPU default, but that win EXPIRED when the scatter-free
+    ``_active_mask`` rework made the XLA unroll's 28 per-step
+    membership masks 2.7x cheaper — the r5 clean-tree grid
+    (ab_fs_fused.json) reads xla_un28 30.3k vs pal_un28 26.3k p/s at
+    the config-4 operating point, and the same-process interleaved
+    duel (probe_fs28_duel.json) has xla winning every round (pallas
+    0.79x median) while also compiling ~1.7x faster (~540 s vs ~900 s
+    at depth 28; the persistent compilation cache then cuts the XLA
+    load to ~38 s/process where pallas' trace-dominated residual stays
+    ~755 s).  ``cold_backend="pallas"`` keeps the kernel available as
+    a research artifact; a once-per-process warning fires before its
+    multi-minute uncached compile.  lam is a traced SMEM scalar in
+    both builders: lambda sweeps reuse one executable either way.
 
     ``auto_capacity``: run at a 16-slot active-set width and re-solve
     lanes that overflow it exactly at ``max_active`` — same result (the
@@ -885,14 +888,22 @@ def feature_sign(
         # start.  Pass cold_unroll explicitly to override either way.
         cold_unroll = 28 if jax.default_backend() == "tpu" else 0
     if cold_backend is None:
-        # measured r4 (ab_fs_fused.json, same-session grid): the fused
-        # Pallas builder is +33% at the config-4 operating point at
-        # depth 28 (28.1k vs 21.1k p/s; done_at_handoff = 1.0) and
-        # parity on the coherent regime — but its depth-28 Mosaic
-        # compile is ~1,900 s one-time per shape (vs ~370 s XLA).
-        # Warm-throughput-first default, same policy as cold_unroll;
-        # see the docstring for when to force "xla".
-        cold_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # "xla" on every backend since r5.  The r4 pallas default
+        # (+33%, dirty-stamped grid) EXPIRED with the late-r4
+        # scatter-free _active_mask rework: the XLA unroll paid a
+        # serialized per-lane scatter per unrolled step and the rework
+        # made those masks 2.7x cheaper, while the Mosaic kernel
+        # (mask-free one-hot rows in VMEM) gained nothing.  r5
+        # clean-tree grid: xla_un28 30.3k vs pal_un28 26.3k p/s, and
+        # the decisive same-process interleaved duel
+        # (probe_fs28_duel.json, quiet host) has xla winning every
+        # round — pallas/xla median 0.79, with a ~900 s Mosaic compile
+        # (vs ~540 s XLA, which the persistent cache cuts to ~38 s
+        # where pallas' trace-dominated residual stays ~755 s).  The
+        # kernel remains available as cold_backend="pallas" — a
+        # documented expired-win research artifact (pallas_select
+        # pattern).
+        cold_backend = "xla"
     # run in segments of <= 16 outer iterations per device program: one
     # monolithic while_loop can run minutes of device time on dense
     # problems and trip the TPU worker's kernel watchdog.  Segments are
