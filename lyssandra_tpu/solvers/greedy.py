@@ -885,10 +885,13 @@ def group_omp(
         # it at K=1024/gs=4/T=4/N=32k): the kernel is VPU-issue bound on
         # its per-lane row ops, not bandwidth bound — wider blocks don't
         # help (b512 re-confirmed 0.71x on the packed variant, r9).
-        # packed=True (default, r9): the sublane-packed factor kernel is
-        # 1.16x the plain fused kernel / 1.65x the XLA scan in the same
-        # run (527k vs 453k vs 319k p/s — ab_group_fused.py,
-        # results/group_omp_fused.json)
+        # packed=True (r9 default, kept): the r5 interleaved duel
+        # (probe_group_duel.json) puts the packed and plain fused
+        # kernels at PARITY (median ratio 0.989, both swinging +-20%
+        # pass to pass) — the r9 "packed +16%" and the r5 sequential
+        # regen's "fused +25%" were both single-session orderings of
+        # equivalent variants.  Both are ~1.4-1.7x the XLA scan
+        # (ab_group_fused.py, results/group_omp_fused.json).
         block = 256 if not interpret else min(256, max(8, N))
         idx_f, gam_f, err_f, nsel_f, _ = group_omp_fused(
             D, X, groups_np, T_eff, block=block, interpret=interpret,
