@@ -78,10 +78,42 @@ def main():
         }
     res["median_ratio_pal_over_xla"] = round(
         res["pallas"]["median_pps"] / res["xla"]["median_pps"], 3)
-    print(json.dumps(res, indent=1))
+
+    # accumulate runs: single interleaved duels turned out to disagree
+    # in SIGN across processes (0.79x then 1.06x, both quiet — even
+    # identical cached binaries swing ~20-35% between processes on this
+    # backend), so the artifact keeps every run and summarizes the
+    # distribution; the per-run interleaving still controls
+    # within-process drift.
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "probe_fs28_duel.json")
+    runs = []
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        runs = prior.get("runs") or [{
+            k: prior[k] for k in
+            ("protocol", "host_loadavg_5m", "host_quiet", "xla",
+             "pallas", "median_ratio_pal_over_xla") if k in prior
+        }]
+    runs.append(res)
+    ratios = [r["median_ratio_pal_over_xla"] for r in runs]
+    out = {
+        "shape": res["shape"],
+        "runs": runs,
+        "ratio_pal_over_xla_per_run": ratios,
+        "conclusion": (
+            "warm throughput is PARITY WITHIN SESSION NOISE: "
+            "interleaved duels disagree in sign across processes "
+            f"(ratios {ratios}); the default stays 'xla' on the "
+            "compile/caching economics (~540 s vs ~900 s one-time "
+            "compile; ~30 s vs ~700 s per-process persistent-cache "
+            "load - the pallas residual is trace/lowering-dominated)"),
+    }
+    print(json.dumps(out, indent=1))
     from benchmarks import write_result
 
-    print("wrote", write_result("probe_fs28_duel", res))
+    print("wrote", write_result("probe_fs28_duel", out))
 
 
 if __name__ == "__main__":
