@@ -825,17 +825,17 @@ def feature_sign(
     kernel (ops/pallas_fs.py) measured +33% in r4 and briefly became
     the TPU default, but that win EXPIRED when the scatter-free
     ``_active_mask`` rework made the XLA unroll's 28 per-step
-    membership masks 2.7x cheaper — the r5 clean-tree grid
-    (ab_fs_fused.json) reads xla_un28 30.3k vs pal_un28 26.3k p/s at
-    the config-4 operating point, and the same-process interleaved
-    duel (probe_fs28_duel.json) has xla winning every round (pallas
-    0.79x median) while also compiling ~1.7x faster (~540 s vs ~900 s
-    at depth 28; the persistent compilation cache then cuts the XLA
-    load to ~38 s/process where pallas' trace-dominated residual stays
-    ~755 s).  ``cold_backend="pallas"`` keeps the kernel available as
-    a research artifact; a once-per-process warning fires before its
-    multi-minute uncached compile.  lam is a traced SMEM scalar in
-    both builders: lambda sweeps reuse one executable either way.
+    membership masks 2.7x cheaper — post-rework the two builders are at
+    warm-throughput PARITY within session noise (probe_fs28_duel.json:
+    interleaved duels disagree in sign across processes, ratios
+    0.79/1.06), and the compile/caching economics decide: the XLA
+    unroll compiles ~1.7x faster (~540 s vs ~900 s at depth 28) and
+    its persistent-cache load is ~30 s/process where pallas'
+    trace/lowering-dominated residual stays ~700 s.
+    ``cold_backend="pallas"`` keeps the kernel available as a research
+    artifact; a once-per-process warning fires before its multi-minute
+    uncached compile.  lam is a traced SMEM scalar in both builders:
+    lambda sweeps reuse one executable either way.
 
     ``auto_capacity``: run at a 16-slot active-set width and re-solve
     lanes that overflow it exactly at ``max_active`` — same result (the
@@ -893,16 +893,17 @@ def feature_sign(
         # scatter-free _active_mask rework: the XLA unroll paid a
         # serialized per-lane scatter per unrolled step and the rework
         # made those masks 2.7x cheaper, while the Mosaic kernel
-        # (mask-free one-hot rows in VMEM) gained nothing.  r5
-        # clean-tree grid: xla_un28 30.3k vs pal_un28 26.3k p/s, and
-        # the decisive same-process interleaved duel
-        # (probe_fs28_duel.json, quiet host) has xla winning every
-        # round — pallas/xla median 0.79, with a ~900 s Mosaic compile
-        # (vs ~540 s XLA, which the persistent cache cuts to ~38 s
-        # where pallas' trace-dominated residual stays ~755 s).  The
-        # kernel remains available as cold_backend="pallas" — a
-        # documented expired-win research artifact (pallas_select
-        # pattern).
+        # (mask-free one-hot rows in VMEM) gained nothing.  Post-rework
+        # warm throughput is PARITY WITHIN SESSION NOISE — interleaved
+        # same-process duels disagree in sign across processes
+        # (probe_fs28_duel.json ratios 0.79/1.06/...; even identical
+        # cached binaries swing ~20-35% between processes here) — so
+        # the default follows the compile/caching economics, which are
+        # not noise: ~540 s vs ~900 s one-time compile, and a ~30 s vs
+        # ~700 s per-process persistent-cache load (the pallas residual
+        # is trace/lowering-dominated).  The kernel remains available
+        # as cold_backend="pallas" — a documented expired-win research
+        # artifact (pallas_select pattern).
         cold_backend = "xla"
     # run in segments of <= 16 outer iterations per device program: one
     # monolithic while_loop can run minutes of device time on dense
