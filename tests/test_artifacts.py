@@ -61,6 +61,11 @@ def test_headline_artifacts_generated_from_clean_tree():
         "config1.json", "config2.json", "config3.json",
         "config4.json", "config5.json", "config6.json",
         "lcksvd_seeds.json", "cpu_oracle_pinned.json",
+        # artifacts cited as a DEFAULT's justification (VERDICT r4 #5):
+        # the fs cold-builder grid + duel (cold_backend), the group
+        # kernel A/B + duel (fused/packed)
+        "ab_fs_fused.json", "probe_fs28_duel.json",
+        "group_omp_fused.json", "probe_group_duel.json",
     ]
     for name in headline:
         res = _load(name)
