@@ -1047,21 +1047,44 @@ def feature_sign(
             res.done.at[colsj].set(sub.done[:nb]),
             res.overflow.at[colsj].set(sub.overflow[:nb]),
         )
-    if polish and bool(jnp.any(~res.done | res.overflow)):
+    if polish:
+        res = _fs_polish(D, X, float(lam), res)
+    return res if full_result else res.Gamma
+
+
+@jax.jit
+def _fs_polish(D, X, lam, res: FeatureSignResult) -> FeatureSignResult:
+    """Device-side FISTA polish of non-converged/overflow lanes.
+
+    The r4-era form gated the polish on ``bool(jnp.any(~done |
+    overflow))`` — a HOST FETCH PER CALL that drained the dispatch
+    pipeline and paid the ~31 ms tunnel round trip every 2048-lane
+    block: at the config-4 operating point (every lane done at the
+    depth-28 handoff, polish a no-op) the gate alone cost 41% of the
+    whole coder (probe_fs_gate.json: 29.7k p/s with it, 50.2k without,
+    bitwise-identical Gamma).  ``lax.cond`` moves the decision onto the
+    device — the FISTA branch executes only when some lane needs it,
+    and the host never syncs.  Trade: the FISTA-500 program is now
+    always part of the compile (one-time per shape) instead of only
+    when triggered."""
+    bad = ~res.done | res.overflow
+
+    def do(r):
         Gf = fista(D, X, lam, n_iter=500)
 
         def obj(Gm):
             R = X - jnp.matmul(D, Gm, precision=_HI)
-            return jnp.sum(R * R, axis=0) + lam * jnp.sum(jnp.abs(Gm),
-                                                          axis=0)
+            return jnp.sum(R * R, axis=0) + lam * jnp.sum(
+                jnp.abs(Gm), axis=0)
 
-        better = obj(Gf) < obj(res.Gamma)
-        take_f = (~res.done | res.overflow) & better
-        Gamma = jnp.where(take_f[None, :], Gf, res.Gamma)
-        res = FeatureSignResult(
-            Gamma, res.n_iter, res.done | take_f, res.overflow & ~take_f
+        better = obj(Gf) < obj(r.Gamma)
+        take_f = bad & better
+        return FeatureSignResult(
+            jnp.where(take_f[None, :], Gf, r.Gamma),
+            r.n_iter, r.done | take_f, r.overflow & ~take_f,
         )
-    return res if full_result else res.Gamma
+
+    return lax.cond(jnp.any(bad), do, lambda r: r, res)
 
 
 lasso = feature_sign
@@ -1742,26 +1765,39 @@ def lars(
             max_active=max_active, max_steps=seg, t_stop=t_stop,
         )
     if polish:
-        gr = 2.0 * (jnp.matmul(G, Gamma, precision=_HI) - A0.T)
-        act = jnp.abs(Gamma) > 1e-8
-        viol = jnp.where(
-            act, jnp.abs(gr + lam * jnp.sign(Gamma)),
-            jnp.maximum(jnp.abs(gr) - lam, 0.0),
-        ).max(axis=0)
-        bad = ~done | (viol > 1e-2 * max(lam, 1.0))
-        if bool(jnp.any(bad)):
-            Gf = fista(D, X, lam, n_iter=500)
-
-            def obj(Gm):
-                R = X - jnp.matmul(D, Gm, precision=_HI)
-                return jnp.sum(R * R, axis=0) + lam * jnp.sum(
-                    jnp.abs(Gm), axis=0
-                )
-
-            take = bad & (obj(Gf) < obj(Gamma))
-            Gamma = jnp.where(take[None, :], Gf, Gamma)
-            done = done | take
+        Gamma, done = _lars_polish(D, X, G, A0, float(lam), Gamma, done)
     return (Gamma, done) if full_result else Gamma
+
+
+@jax.jit
+def _lars_polish(D, X, G, A0, lam, Gamma, done):
+    """Device-side lasso-mode LARS polish — the same ``lax.cond``
+    rework as :func:`_fs_polish`: the old ``bool(jnp.any(bad))`` host
+    fetch drained the dispatch pipeline once per call (measured 41% of
+    the whole feature-sign coder at the config-4 operating point,
+    probe_fs_gate.json; the LARS epilogue had the identical pattern)."""
+    gr = 2.0 * (jnp.matmul(G, Gamma, precision=_HI) - A0.T)
+    act = jnp.abs(Gamma) > 1e-8
+    viol = jnp.where(
+        act, jnp.abs(gr + lam * jnp.sign(Gamma)),
+        jnp.maximum(jnp.abs(gr) - lam, 0.0),
+    ).max(axis=0)
+    bad = ~done | (viol > 1e-2 * jnp.maximum(lam, 1.0))
+
+    def do(args):
+        Gamma, done = args
+        Gf = fista(D, X, lam, n_iter=500)
+
+        def obj(Gm):
+            R = X - jnp.matmul(D, Gm, precision=_HI)
+            return jnp.sum(R * R, axis=0) + lam * jnp.sum(
+                jnp.abs(Gm), axis=0
+            )
+
+        take = bad & (obj(Gf) < obj(Gamma))
+        return jnp.where(take[None, :], Gf, Gamma), done | take
+
+    return lax.cond(jnp.any(bad), do, lambda a: a, (Gamma, done))
 
 
 def lars_path(
