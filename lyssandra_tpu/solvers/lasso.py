@@ -361,7 +361,7 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_active", "max_iter", "max_inner",
+    jax.jit, static_argnames=("max_active", "max_inner",
                               "max_cg", "n_activate")
 )
 def _feature_sign_impl(
@@ -371,7 +371,9 @@ def _feature_sign_impl(
     """One jitted SEGMENT of up to max_iter outer iterations from ``state``.
     Segmenting keeps each device program short — a single unbounded
     while_loop can exceed the TPU worker's kernel watchdog on dense
-    problems (see ``feature_sign``)."""
+    problems (see ``feature_sign``).  ``max_iter`` is a TRACED bound
+    (only the while_loop cond reads it, r5): every segment size in the
+    escalating plan shares ONE compiled executable per shape."""
     return _fs_loop(
         Dt, Xt, A0, lam, state,
         max_active=max_active, max_iter=max_iter, max_inner=max_inner,
@@ -905,15 +907,29 @@ def feature_sign(
         # as cold_backend="pallas" — a documented expired-win research
         # artifact (pallas_select pattern).
         cold_backend = "xla"
-    # run in segments of <= 16 outer iterations per device program: one
-    # monolithic while_loop can run minutes of device time on dense
-    # problems and trip the TPU worker's kernel watchdog.  Segments are
-    # dispatched back-to-back WITHOUT host syncs — once every lane is done
-    # a segment's while_loop exits after one cond evaluation, so surplus
-    # segments cost ~nothing, while a per-segment `all(done)` fetch costs a
-    # host round-trip over the device tunnel (round-1 bottleneck).
-    seg = min(16, max_iter)
-    n_segs = (max_iter + seg - 1) // seg
+    # run in bounded segments per device program: one monolithic
+    # while_loop can run minutes of device time on dense problems and
+    # trip the TPU worker's kernel watchdog.  Segments are dispatched
+    # back-to-back WITHOUT host syncs — once every lane is done a
+    # segment's while_loop exits after one cond evaluation.  BUT a
+    # zero-trip dispatch is not free over the remote tunnel: 6 surplus
+    # segment programs cost 21% of the whole coder at the config-4
+    # operating point (seg-probe r5: 49.7k -> 60.4k p/s at max_iter=16,
+    # identical Gamma; the escalating default below measures 56.5k,
+    # chip A/B, Gamma bitwise equal), so the plan ESCALATES — 16
+    # iterations first
+    # (fast-converging batches stop cheap), doubling up to 64/program
+    # (watchdog bound: worst measured dense regimes run ~20-40 ms per
+    # outer iteration, so 64 stays seconds, not minutes).  max_iter=100
+    # dispatches 3 programs instead of 7; every size shares one
+    # executable (the bound is traced).
+    seg_plan = []
+    left, s = max_iter, min(16, max_iter)
+    while left > 0:
+        take = min(s, left)
+        seg_plan.append(take)
+        left -= take
+        s = min(2 * s, 64)
     # auto capacity (opt-in, see docstring): run the batch at 16 slots;
     # lanes that genuinely need more overflow and are re-solved at full
     # capacity below (exact — NOT the FISTA fallback), so the result
@@ -958,12 +974,12 @@ def feature_sign(
         state = _fs_init(A0, float(lam), A_run)
     state, res = _feature_sign_impl(
         Dt, Xt, A0, float(lam), state,
-        max_active=A_run, max_iter=seg, max_inner=max_inner,
+        max_active=A_run, max_iter=seg_plan[0], max_inner=max_inner,
         max_cg=max_cg, n_activate=n_activate,
     )
     lanes = None            # narrow-batch lane ids (None = full width)
     Xt_n, A0_n = Xt, A0
-    for _ in range(n_segs - 1):
+    for seg_i in seg_plan[1:]:
         if compact_stragglers:
             bad = np.asarray(~state[5])     # still running (overflow
             nbad = int(bad.sum())           # lanes are done+frozen)
@@ -1000,7 +1016,7 @@ def feature_sign(
                 )
         state, res_n = _feature_sign_impl(
             Dt, Xt_n, A0_n, float(lam), state,
-            max_active=A_run, max_iter=seg, max_inner=max_inner,
+            max_active=A_run, max_iter=seg_i, max_inner=max_inner,
             max_cg=max_cg, n_activate=n_activate,
         )
         if lanes is None:
