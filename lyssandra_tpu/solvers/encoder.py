@@ -48,11 +48,17 @@ class SparseEncoder:
             # block converges, so big blocks ride their slowest straggler;
             # blocks dispatched back-to-back measured +27% over one 32k
             # call at identical objective (r3, on chip).  Re-measured r6
-            # after max_inner=6 cut the per-outer straggler tax
-            # (ab_fs_block.json): 2048 beats 4096 by 7-11% in both
-            # regimes and 512 loses to dispatch latency — 2048 is the
-            # optimum.  Greedy solvers run fixed trip counts and want
-            # the big block.
+            # after max_inner=6 (ab_fs_block.json: 2048 optimal), and
+            # AGAIN in r5 after the dispatch-path fixes removed the
+            # per-call polish-gate sync and surplus segments
+            # (probe_fs_block_r5.json): the optimum is now REGIME-
+            # dependent — 1024 wins the config-4 regime (+22% over
+            # 2048) while 4096 wins the fast-converging matched-
+            # sparsity regime (+15%), and 2048 is within 13-18% of
+            # best in BOTH (never worst).  2048 stays the robust
+            # default; pass block= explicitly when the workload's
+            # convergence profile is known.  Greedy solvers run fixed
+            # trip counts and want the big block.
             convex = algorithm in ("lasso", "feature_sign", "fss",
                                    "lars", "lasso_lars")
             block = 2048 if convex else 16384
