@@ -361,7 +361,7 @@ def _fs_loop(Dt, Xt, A0, lam, state, *, max_active, max_iter, max_inner,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_active", "max_inner",
+    jax.jit, static_argnames=("max_active", "max_iter", "max_inner",
                               "max_cg", "n_activate")
 )
 def _feature_sign_impl(
@@ -371,9 +371,15 @@ def _feature_sign_impl(
     """One jitted SEGMENT of up to max_iter outer iterations from ``state``.
     Segmenting keeps each device program short — a single unbounded
     while_loop can exceed the TPU worker's kernel watchdog on dense
-    problems (see ``feature_sign``).  ``max_iter`` is a TRACED bound
-    (only the while_loop cond reads it, r5): every segment size in the
-    escalating plan shares ONE compiled executable per shape."""
+    problems (see ``feature_sign``).  ``max_iter`` is STATIC: the r5
+    escalating plan compiles one executable per distinct segment size
+    (at most 3: 16/32/64).  A traced bound would share one executable
+    and was briefly tried; during that investigation the full
+    --runslow suite exposed a WANDERING XLA:CPU compiler segfault late
+    in marathon compile sessions (site moved with unrelated code
+    shuffles; mitigated by per-module jax.clear_caches in
+    tests/conftest.py), so the static form is kept as the conservative
+    choice — its cost is two extra small-program compiles per shape."""
     return _fs_loop(
         Dt, Xt, A0, lam, state,
         max_active=max_active, max_iter=max_iter, max_inner=max_inner,
@@ -921,8 +927,8 @@ def feature_sign(
     # (fast-converging batches stop cheap), doubling up to 64/program
     # (watchdog bound: worst measured dense regimes run ~20-40 ms per
     # outer iteration, so 64 stays seconds, not minutes).  max_iter=100
-    # dispatches 3 programs instead of 7; every size shares one
-    # executable (the bound is traced).
+    # dispatches 3 programs instead of 7, one executable per distinct
+    # size (static bound; see _feature_sign_impl for why not traced).
     seg_plan = []
     left, s = max_iter, min(16, max_iter)
     while left > 0:

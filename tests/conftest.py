@@ -67,3 +67,23 @@ def make_problem(rng, p=16, K=32, N=64, T=4, dtype=np.float64):
         Gamma[idx, n] = rng.standard_normal(T)
     X = D @ Gamma + 0.01 * rng.standard_normal((p, N))
     return D.astype(dtype), X.astype(dtype), Gamma
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free accumulated compiled-executable state after each test module.
+
+    The full --runslow suite compiles many hundreds of XLA:CPU programs
+    in one process; late in such marathon runs the XLA:CPU compiler has
+    segfaulted inside backend_compile_and_load at a WANDERING site (r5:
+    twice in test_properties' debug_nans compile, then — after an
+    unrelated code shuffle — in a pallas interpret compile; module
+    subsets and the fast suite never crash, and each crashing compile
+    succeeds in a fresh process).  Clearing caches between modules
+    bounds the accumulated compiler state; the cost is per-module
+    recompiles of shared helpers.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
